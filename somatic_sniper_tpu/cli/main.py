@@ -1,0 +1,148 @@
+"""bam-somaticsniper-compatible CLI (reference main.c:64-162).
+
+Same flag surface as the reference plus TPU-era additions
+(``--precision``, ``--shards``/``--shard-index`` for region sharding).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .. import __version__
+from ..models.tables import ModelParams
+from ..output.formatters import FORMATTERS, get_formatter
+from ..output.records import HeaderData
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="bam-somaticsniper-tpu",
+        description=(
+            "TPU-native somatic SNV caller with SomaticSniper's statistics"
+        ),
+        add_help=True,
+    )
+    p.add_argument("-f", dest="ref", metavar="FILE", required=False,
+                   help="REQUIRED reference sequence in the FASTA format")
+    p.add_argument("-v", dest="version", action="store_true",
+                   help="Display version information")
+    p.add_argument("-q", dest="mapq", type=int, default=0, metavar="INT",
+                   help="filtering reads with mapping quality less than INT")
+    p.add_argument("-Q", dest="min_somatic_qual", type=int, default=15,
+                   metavar="INT",
+                   help="filtering somatic snv output with somatic quality "
+                        "less than INT")
+    p.add_argument("-L", dest="no_loh", action="store_true",
+                   help="do not report LOH variants as determined by "
+                        "genotypes")
+    p.add_argument("-G", dest="no_gor", action="store_true",
+                   help="do not report Gain of Reference variants as "
+                        "determined by genotypes")
+    p.add_argument("-p", dest="no_priors", action="store_true",
+                   help="disable priors in the somatic calculation. "
+                        "Increases sensitivity for solid tumors")
+    p.add_argument("-J", dest="joint", action="store_true",
+                   help="Use prior probabilities accounting for the somatic "
+                        "mutation rate")
+    p.add_argument("-s", dest="somatic_rate", type=float, default=None,
+                   metavar="FLOAT",
+                   help="prior probability of a somatic mutation "
+                        "(implies -J) [0.010000]")
+    p.add_argument("-T", dest="theta", type=float, default=0.85,
+                   metavar="FLOAT",
+                   help="theta in maq consensus calling model [0.850000]")
+    p.add_argument("-N", dest="n_hap", type=int, default=2, metavar="INT",
+                   help="number of haplotypes in the sample [2]")
+    p.add_argument("-r", dest="het_rate", type=float, default=0.001,
+                   metavar="FLOAT",
+                   help="prior of a difference between two haplotypes "
+                        "[0.001000]")
+    p.add_argument("-n", dest="normal_id", default="NORMAL", metavar="STRING",
+                   help="normal sample id (for VCF header) [NORMAL]")
+    p.add_argument("-t", dest="tumor_id", default="TUMOR", metavar="STRING",
+                   help="tumor sample id (for VCF header) [TUMOR]")
+    p.add_argument("-F", dest="format", default="classic", metavar="STRING",
+                   choices=sorted(FORMATTERS),
+                   help="select output format [classic] "
+                        f"(available: {', '.join(sorted(FORMATTERS))})")
+    p.add_argument("--precision", default="exact",
+                   choices=("exact", "fast"),
+                   help="model arithmetic: 'exact' replicates the reference "
+                        "bit-for-bit; 'fast' is the f32 TPU path")
+    p.add_argument("--shards", type=int, default=1,
+                   help="total number of genome shards")
+    p.add_argument("--shard-index", type=int, default=None,
+                   help="process only this shard (deterministic interval "
+                        "partition); omit to process all shards locally")
+    p.add_argument("tumor_bam", nargs="?")
+    p.add_argument("normal_bam", nargs="?")
+    p.add_argument("output", nargs="?")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import jax
+
+    if args.precision == "exact":
+        # the exact path replicates the reference's double-precision
+        # arithmetic and requires x64-enabled JAX
+        jax.config.update("jax_enable_x64", True)
+    if args.version:
+        print(f"Somatic Sniper TPU version {__version__}")
+        return 0
+    if not (args.tumor_bam and args.normal_bam and args.output):
+        build_parser().print_help(sys.stderr)
+        return 1
+    if not args.ref:
+        print("You MUST specify a reference sequence. It isn't optional.",
+              file=sys.stderr)
+        return 1
+
+    params = ModelParams(
+        theta=args.theta,
+        n_hap=args.n_hap,
+        het_rate=args.het_rate,
+        use_priors=not args.no_priors,
+        use_joint_priors=args.joint or args.somatic_rate is not None,
+        somatic_mutation_rate=(
+            args.somatic_rate if args.somatic_rate is not None else 0.01
+        ),
+        min_somatic_qual=args.min_somatic_qual,
+        include_loh=not args.no_loh,
+        include_gor=not args.no_gor,
+        mapq_threshold=args.mapq,
+    )
+
+    if params.use_joint_priors:
+        print(
+            "Using priors accounting for somatic mutation rate. Prior "
+            f"probability of a somatic mutation is {params.somatic_mutation_rate:f}",
+            file=sys.stderr,
+        )
+    print("Preparing to snipe some somatics", file=sys.stderr)
+    if params.use_priors:
+        print("Using prior probabilities", file=sys.stderr)
+    print(f"Normal bam is {args.normal_bam}", file=sys.stderr)
+    print(f"Tumor bam is {args.tumor_bam}", file=sys.stderr)
+
+    from ..runner import call_pair
+
+    header_fn, record_fn = get_formatter(args.format)
+    with open(args.output, "w") as fh:
+        header_fn(fh, HeaderData(
+            refseq=args.ref,
+            normal_sample_id=args.normal_id,
+            tumor_sample_id=args.tumor_id,
+        ))
+        for rec in call_pair(
+            args.tumor_bam, args.normal_bam, args.ref,
+            params=params, precision=args.precision,
+        ):
+            record_fn(fh, rec)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

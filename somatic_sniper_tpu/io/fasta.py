@@ -1,0 +1,101 @@
+"""faidx-style indexed FASTA access (reference: vendor faidx.c).
+
+Provides whole-contig fetch by name, which is all the caller needs (the
+reference fetches one full contig per tid change, somatic_sniper.c:112-117).
+Builds the ``.fai`` in memory when missing, with the same line-geometry
+model as samtools faidx.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+
+@dataclass
+class FaiEntry:
+    name: str
+    length: int
+    offset: int
+    line_bases: int
+    line_width: int
+
+
+class FastaFile:
+    def __init__(self, path: str | Path):
+        self.path = Path(path)
+        self._data = self.path.read_bytes()
+        fai = Path(str(self.path) + ".fai")
+        if fai.exists():
+            self.index = self._parse_fai(fai.read_text())
+        else:
+            self.index = self._build_index()
+        self._cache: dict[str, bytes] = {}
+
+    @staticmethod
+    def _parse_fai(text: str) -> dict[str, FaiEntry]:
+        idx: dict[str, FaiEntry] = {}
+        for line in text.splitlines():
+            if not line.strip():
+                continue
+            parts = line.split("\t")
+            if len(parts) < 5:
+                raise ValueError(f"malformed .fai line: {line!r}")
+            e = FaiEntry(
+                name=parts[0],
+                length=int(parts[1]),
+                offset=int(parts[2]),
+                line_bases=int(parts[3]),
+                line_width=int(parts[4]),
+            )
+            idx[e.name] = e
+        return idx
+
+    def _build_index(self) -> dict[str, FaiEntry]:
+        idx: dict[str, FaiEntry] = {}
+        data = self._data
+        pos = 0
+        n = len(data)
+        while pos < n:
+            if data[pos : pos + 1] != b">":
+                raise ValueError("malformed FASTA (expected '>')")
+            eol = data.find(b"\n", pos)
+            name = data[pos + 1 : eol].split()[0].decode()
+            seq_off = eol + 1
+            length = 0
+            line_bases = line_width = 0
+            p = seq_off
+            first = True
+            while p < n and data[p : p + 1] != b">":
+                eol2 = data.find(b"\n", p)
+                if eol2 == -1:
+                    eol2 = n
+                lb = eol2 - p
+                # tolerate \r\n
+                if lb and data[eol2 - 1 : eol2] == b"\r":
+                    lb -= 1
+                if first and lb:
+                    line_bases = lb
+                    line_width = eol2 - p + 1
+                    first = False
+                length += lb
+                p = eol2 + 1
+            idx[name] = FaiEntry(name, length, seq_off,
+                                 line_bases or 1, line_width or 2)
+            pos = p
+        return idx
+
+    def fetch(self, name: str) -> bytes | None:
+        """Whole-contig sequence bytes (case preserved), or None."""
+        if name in self._cache:
+            return self._cache[name]
+        e = self.index.get(name)
+        if e is None:
+            return None
+        full_lines = e.length // e.line_bases
+        rem = e.length % e.line_bases
+        span = full_lines * e.line_width + rem
+        raw = self._data[e.offset : e.offset + span]
+        seq = raw.replace(b"\n", b"").replace(b"\r", b"")[: e.length]
+        self._cache[name] = seq
+        return seq

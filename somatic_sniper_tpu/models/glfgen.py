@@ -1,0 +1,348 @@
+"""Batched MAQ genotype-likelihood generation (glfgen) in JAX.
+
+Re-implements the per-column likelihood model of the reference
+(``sniper_maqcns_glfgen``, reference sniper_maqcns.c:127-248) as a dense
+batched computation over ``[B, D]`` pileup-column tensors.
+
+Two precision modes share the same structure:
+
+* ``exact``  — bit-for-bit replication of the C code's mixed float/double
+  arithmetic (float32 accumulators updated through float64 ops, float64
+  table lookups, C rounding/truncation semantics).  Requires an x64-enabled
+  JAX backend (CPU).  Used for golden-output parity and as the oracle for
+  the fast path.
+* ``fast``   — float32 throughout, fully vectorized (no sequential scan),
+  designed for the TPU VPU/MXU.  Produces u8 likelihoods that match the
+  exact path except when a value lands within float rounding distance of a
+  0.5 quantization boundary (measured < 1e-4 of columns).
+
+Column slot encoding (host-side pileup produces these arrays):
+    base16  [B, D] int32   4-bit IUB base code at this column
+    baseq   [B, D] int32   base quality (u8)
+    mapq    [B, D] int32   mapping quality (u8)
+    strand  [B, D] int32   0 fwd / 1 rev
+    is_del  [B, D] bool    position falls in a deletion of this read
+    valid   [B, D] bool    slot occupied (depth padding mask)
+    ref16   [B]    int32   4-bit IUB code of the reference base
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import NT16_NT4_TABLE
+
+F32 = jnp.float32
+F64 = jnp.float64
+I32 = jnp.int32
+
+
+class GlfResult(NamedTuple):
+    """Mirror of glf1_t (vendor glf.h:4-9) plus the aux read count."""
+
+    lk: jax.Array        # [B, 10] int32 (u8 range), genotype likelihoods
+    min_lk: jax.Array    # [B] int32
+    depth: jax.Array     # [B] int32, non-deleted read count
+    rms_mapq: jax.Array  # [B] int32 (u8 range)
+
+
+class ColumnBatch(NamedTuple):
+    base16: jax.Array
+    baseq: jax.Array
+    mapq: jax.Array
+    strand: jax.Array
+    is_del: jax.Array
+    valid: jax.Array
+    ref16: jax.Array
+
+
+def pack_info(cols: ColumnBatch) -> tuple[jax.Array, jax.Array]:
+    """Build the per-read sort keys of the reference's aux array.
+
+    reference sniper_maqcns.c:144-156: for each non-deleted read,
+    ``x = effQ<<24 | valid<<21 | strand<<18 | base2<<16 | baseQ<<8 | mapQ``
+    with ``effQ = min(baseQ, mapQ)`` and ``base2`` the 2-bit base (only when
+    the base is unambiguous; '=' resolves to the reference base).
+
+    Returns (info [B, D] uint32 sort keys with invalid slots set to
+    0xFFFFFFFF — unreachable for real reads since bits 19-20/22-23 of the
+    packing are never set — and n [B] count of participating reads).
+    """
+    nt4 = jnp.asarray(NT16_NT4_TABLE, dtype=I32)
+    keep = cols.valid & ~cols.is_del
+
+    q = cols.baseq
+    x = (cols.strand.astype(I32) << 18) | (q << 8) | cols.mapq
+    eff = jnp.minimum(q, cols.mapq)
+    x = x | (eff << 24)
+    qq = cols.base16
+    base2 = nt4[jnp.where(qq != 0, qq, cols.ref16[:, None])]
+    has_base = base2 < 4
+    x = jnp.where(has_base, x | (1 << 21) | (base2 << 16), x)
+
+    key = jnp.where(
+        keep, x.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF)
+    )
+    n = keep.sum(axis=1).astype(I32)
+    return key, n
+
+
+def _exact_accumulate(info_sorted, n, fk64, cap_mapq, max_w=255):
+    """Sequential descending scan replicating sniper_maqcns.c:160-176.
+
+    Returns (esum f32[B,4], fsum f32[B,4], c i32[B,4], rms i64[B]).
+    The scan runs from the highest sort position downward so that the
+    highest-quality read of each (base, strand) class receives fk[0].
+    """
+    B, D = info_sorted.shape
+    fk = jnp.asarray(fk64, dtype=F64)
+
+    def step(carry, j):
+        esum, fsum, c, w, rms = carry
+        info = info_sorted[:, j]
+        alive = j < n  # [B]
+
+        effq = (info >> 24).astype(I32)
+        low6 = ((info >> 8) & 0x3F).astype(I32)
+        # effective-quality floor (reference sniper_maqcns.c:165)
+        effq = jnp.where((effq < 4) & (low6 != 0), 4, effq)
+        k8 = ((info >> 16) & 7).astype(I32)       # (base | strand<<2) class
+        k4 = k8 & 3
+
+        upd = alive & (effq > 0)
+        oh8 = (jax.nn.one_hot(k8, 8, dtype=I32) * upd[:, None].astype(I32))
+        oh4 = (jax.nn.one_hot(k4, 4, dtype=I32) * upd[:, None].astype(I32))
+
+        w_k = jnp.take_along_axis(w, k8[:, None], axis=1)[:, 0]
+        fkw = fk[jnp.clip(w_k, 0, max_w)]          # f64 [B]
+
+        # float32 accumulators updated via float64 ops (C: float += double)
+        d_esum = oh4.astype(F64) * (fkw * effq.astype(F64))[:, None]
+        d_fsum = oh4.astype(F64) * fkw[:, None]
+        esum = (esum.astype(F64) + d_esum).astype(F32)
+        fsum = (fsum.astype(F64) + d_fsum).astype(F32)
+        c = c + oh4
+        w = w + oh8 * (w < max_w).astype(I32)
+
+        tmp = jnp.minimum((info & 0x7F).astype(I32), cap_mapq)
+        rms = rms + jnp.where(alive, (tmp * tmp).astype(jnp.int64), 0)
+        return (esum, fsum, c, w, rms), None
+
+    init = (
+        jnp.zeros((B, 4), F32),
+        jnp.zeros((B, 4), F32),
+        jnp.zeros((B, 4), I32),
+        jnp.zeros((B, 8), I32),
+        jnp.zeros((B,), jnp.int64),
+    )
+    (esum, fsum, c, w, rms), _ = jax.lax.scan(
+        step, init, jnp.arange(D - 1, -1, -1)
+    )
+    return esum, fsum, c, rms
+
+
+def _fast_accumulate(info_sorted, n, fk64, cap_mapq, max_w=255):
+    """Vectorized float32 version of the descending-rank accumulation.
+
+    The fk weight of a read equals fk[r] where r is the number of
+    higher-sorted reads of the same (base, strand) class with effQ > 0
+    (because the reference's ``w[k]`` counter only increments for those;
+    sniper_maqcns.c:162-175).  Ranks are computed with an exclusive cumsum
+    over the descending order, then the per-base sums become masked
+    reductions — no sequential carry, fully VPU/MXU friendly.
+    """
+    B, D = info_sorted.shape
+    fk = jnp.asarray(fk64, dtype=F32)
+    desc = info_sorted[:, ::-1]                       # descending order
+    j_idx = jax.lax.broadcasted_iota(I32, (B, D), 1)
+    # descending order puts the (D - n) pad slots (+inf keys) first
+    alive = j_idx >= (D - n)[:, None]
+
+    effq = (desc >> 24).astype(I32)
+    low6 = ((desc >> 8) & 0x3F).astype(I32)
+    effq = jnp.where((effq < 4) & (low6 != 0), 4, effq)
+    k8 = ((desc >> 16) & 7).astype(I32)
+    k4 = k8 & 3
+    upd = alive & (effq > 0)
+
+    oh8 = jax.nn.one_hot(k8, 8, dtype=I32) * upd[:, :, None].astype(I32)
+    # exclusive cumulative same-class count = the reference's w[k] at visit
+    rank = jnp.cumsum(oh8, axis=1) - oh8              # [B, D, 8]
+    w_k = jnp.take_along_axis(
+        rank, k8[:, :, None], axis=2
+    )[:, :, 0]
+    fkw = fk[jnp.clip(w_k, 0, max_w)] * upd.astype(F32)
+
+    oh4 = jax.nn.one_hot(k4, 4, dtype=F32) * upd[:, :, None].astype(F32)
+    esum = jnp.einsum("bd,bdk->bk", fkw * effq.astype(F32), oh4)
+    fsum = jnp.einsum("bd,bdk->bk", fkw, oh4)
+    c = jnp.einsum(
+        "bd,bdk->bk", upd.astype(I32).astype(F32), oh4
+    ).astype(I32)
+
+    tmp = jnp.minimum((desc & 0x7F).astype(I32), cap_mapq)
+    rms = jnp.where(alive, tmp * tmp, 0).sum(axis=1)
+    return esum, fsum, c, rms
+
+
+def _c_trunc_half(x64):
+    """C ``(int)(x + 0.5)`` on a nonnegative double: truncate toward zero."""
+    return jnp.floor(x64 + 0.5).astype(I32)
+
+
+@partial(jax.jit, static_argnames=("precision", "cap_mapq"))
+def glfgen_batch(
+    cols: ColumnBatch,
+    fk64,
+    coef64,
+    lhet64,
+    precision: str = "exact",
+    cap_mapq: int = 60,
+) -> GlfResult:
+    """Batched sniper_maqcns_glfgen (reference sniper_maqcns.c:127-248)."""
+    acc_f = F64 if precision == "exact" else F32
+
+    info, n = pack_info(cols)
+    info_sorted = jnp.sort(info, axis=1)
+
+    if precision == "exact":
+        esum, fsum, c, rms = _exact_accumulate(info_sorted, n, fk64, cap_mapq)
+        coef = jnp.asarray(coef64, dtype=F64)
+        lhet = jnp.asarray(lhet64, dtype=F64)
+    else:
+        esum, fsum, c, rms = _fast_accumulate(info_sorted, n, fk64, cap_mapq)
+        coef = jnp.asarray(coef64, dtype=F32)
+        lhet = jnp.asarray(lhet64, dtype=F32)
+
+    B = esum.shape[0]
+    nz = n > 0
+    n_safe = jnp.maximum(n, 1)
+
+    # rms mapQ (reference sniper_maqcns.c:176)
+    rms_mapq = jnp.floor(
+        jnp.sqrt(rms.astype(acc_f) / n_safe.astype(acc_f)) + acc_f(0.499)
+    ).astype(I32)
+    rms_mapq = jnp.where(nz, rms_mapq, 0)
+
+    # depth rescale of c[] (reference sniper_maqcns.c:178-182)
+    c_tot = c.sum(axis=1)
+    scale_needed = c_tot > 255
+    c_scaled = _c_trunc_half(
+        acc_f(254.0) * c.astype(acc_f) / jnp.maximum(c_tot, 1)[:, None].astype(acc_f)
+    )
+    c = jnp.where(scale_needed[:, None], c_scaled, c)
+    c_tot = jnp.where(scale_needed, c.sum(axis=1), c_tot)
+
+    # likelihood assembly (reference sniper_maqcns.c:184-214)
+    # p is a [B, 4, 4] symmetric matrix in float32.
+    p = jnp.zeros((B, 4, 4), F32)
+
+    def others_sum(vals, excl):
+        """f32 left-to-right sum over k not in excl, ascending k (C order)."""
+        t = jnp.zeros((B,), vals.dtype)
+        for k in range(4):
+            if k in excl:
+                continue
+            t = t + vals[:, k]
+        return t
+
+    def others_sum_i(vals, excl):
+        t = jnp.zeros((B,), I32)
+        for k in range(4):
+            if k in excl:
+                continue
+            t = t + vals[:, k]
+        return t
+
+    def coef_at(bar_e, tmp2):
+        return coef[bar_e, c_tot, tmp2]
+
+    def bar_e_of(tmp1, tmp3, tmp2):
+        ratio = jnp.where(tmp2 > 0, tmp1 / jnp.where(tmp3 == 0, 1, tmp3), 0)
+        be = _c_trunc_half(ratio.astype(acc_f))
+        return jnp.clip(be, 4, 63)
+
+    for j in range(4):
+        tmp1 = others_sum(esum, (j,))
+        tmp3 = others_sum(fsum, (j,))
+        tmp2 = others_sum_i(c, (j,))
+        bar_e = bar_e_of(tmp1, tmp3, tmp2)
+        hom = (tmp1.astype(acc_f) + coef_at(bar_e, tmp2)).astype(F32)
+        hom = jnp.where(tmp2 > 0, hom, F32(0.0))
+        p = p.at[:, j, j].set(hom)
+        for k in range(j + 1, 4):
+            tmp1 = others_sum(esum, (j, k))
+            tmp3 = others_sum(fsum, (j, k))
+            tmp2 = others_sum_i(c, (j, k))
+            bar_e = bar_e_of(tmp1, tmp3, tmp2)
+            lh = (acc_f(-4.343) * lhet[c[:, j], c[:, k]])
+            het_full = ((lh + tmp1.astype(acc_f)) + coef_at(bar_e, tmp2)).astype(F32)
+            het_empty = lh.astype(F32)
+            het = jnp.where(tmp2 > 0, het_full, het_empty)
+            p = p.at[:, j, k].set(het)
+            p = p.at[:, k, j].set(het)
+
+    # negative clamp (reference sniper_maqcns.c:212-213; every entry is
+    # written before its row's clamp runs, so a single global clamp at the
+    # end is equivalent)
+    p = jnp.maximum(p, F32(0.0))
+
+    # "fix p[k,k]" best-base adjustment (reference sniper_maqcns.c:216-233),
+    # with the C scan's exact tie semantics (strict >/<, first index wins).
+    max1 = jnp.full((B,), -1.0, F32)
+    max2 = jnp.full((B,), -1.0, F32)
+    max_k = jnp.full((B,), -1, I32)
+    for k in range(4):
+        e_k = esum[:, k]
+        gt1 = e_k > max1
+        gt2 = (~gt1) & (e_k > max2)
+        max2 = jnp.where(gt1, max1, jnp.where(gt2, e_k, max2))
+        max1 = jnp.where(gt1, e_k, max1)
+        max_k = jnp.where(gt1, k, max_k)
+    min1 = jnp.full((B,), 1e30, F32)
+    min2 = jnp.full((B,), 1e30, F32)
+    min_k = jnp.full((B,), -1, I32)
+    for k in range(4):
+        d_k = p[:, k, k]
+        lt1 = d_k < min1
+        lt2 = (~lt1) & (d_k < min2)
+        min2 = jnp.where(lt1, min1, jnp.where(lt2, d_k, min2))
+        min1 = jnp.where(lt1, d_k, min1)
+        min_k = jnp.where(lt1, k, min_k)
+    fix = (max1 > max2) & (
+        (min_k != max_k) | (min1.astype(acc_f) + 1.0 > min2.astype(acc_f))
+    )
+    fixed_val = jnp.where(
+        min1.astype(acc_f) > 1.0, (min1.astype(acc_f) - 1.0).astype(F32), F32(0.0)
+    )
+    diag = jnp.arange(4)
+    onehot_mk = max_k[:, None] == diag[None, :]
+    new_diag = jnp.where(fix[:, None] & onehot_mk, fixed_val[:, None],
+                         p[:, diag, diag])
+    p = p.at[:, diag, diag].set(new_diag)
+
+    # quantization to glf1_t (reference sniper_maqcns.c:236-244)
+    triu = [(j, k) for j in range(4) for k in range(j, 4)]
+    p10 = jnp.stack([p[:, j, k] for j, k in triu], axis=1)  # [B, 10]
+    min_p = jnp.min(
+        jnp.where(jnp.isnan(p10), jnp.inf, p10), axis=1
+    )  # C scan with < comparisons; NaN cannot occur but guard pads
+    min_lk = jnp.where(
+        min_p.astype(acc_f) > 255.0, 255, _c_trunc_half(min_p.astype(acc_f))
+    )
+    dlk = p10 - min_p[:, None]  # f32 subtraction as in C
+    lk = jnp.where(
+        dlk.astype(acc_f) > 255.0, 255, _c_trunc_half(dlk.astype(acc_f))
+    )
+
+    # empty columns: calloc'd glf (reference sniper_maqcns.c:131-136)
+    lk = jnp.where(nz[:, None], lk, 0)
+    min_lk = jnp.where(nz, min_lk, 0)
+    depth = jnp.minimum(n, 16777215)
+
+    return GlfResult(lk=lk, min_lk=min_lk, depth=depth, rms_mapq=rms_mapq)

@@ -1,0 +1,178 @@
+"""End-to-end batched somatic calling over pileup-column tensors.
+
+Fuses glfgen + consensus + somatic scoring + emission gating into one
+jittable function over ``[B, D]`` column batches — the TPU-native
+re-design of the reference's per-column callback ``glf_somatic``
+(reference somatic_sniper.c:109-273).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import GERMLINE, LOH, SOMATIC, UNKNOWN, WILDTYPE
+from .consensus import (
+    glf2cns_batch,
+    make_qadd,
+    somatic_score_batch,
+)
+from .glfgen import ColumnBatch, glfgen_batch
+from .tables import ModelTables
+
+I32 = jnp.int32
+
+
+class CallResult(NamedTuple):
+    """Per-column call record (device output, host formats the text)."""
+
+    emit: jax.Array            # [B] bool — site passes all gates
+    tumor_gt: jax.Array        # [B] tumor consensus genotype (4-bit set)
+    normal_gt: jax.Array       # [B] normal consensus genotype
+    tumor_cnsq: jax.Array      # [B] tumor consensus quality (GQ)
+    normal_cnsq: jax.Array     # [B]
+    tumor_vaq: jax.Array       # [B] tumor variant allele quality
+    normal_vaq: jax.Array      # [B]
+    somatic_score: jax.Array   # [B] phred P(gt_T != gt_N)
+    joint_tumor_gt: jax.Array  # [B] joint-mode genotype (0 if solo mode)
+    joint_normal_gt: jax.Array
+    joint_cnsq: jax.Array      # [B]
+    tumor_status: jax.Array    # [B] variant_status_t
+    normal_status: jax.Array   # [B]
+    tumor_eff_gt: jax.Array    # [B] joint-aware genotype (wanted-base calc)
+    normal_eff_gt: jax.Array
+    tumor_depth: jax.Array     # [B] glf depth (non-del reads)
+    normal_depth: jax.Array
+
+
+def _proper_subset(a, b):
+    """allele_util.h:26-27: a != b and a & b == a."""
+    return (b != a) & ((a & b) == a)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("precision", "use_joint", "min_somatic_qual",
+                     "include_loh", "include_gor", "cap_mapq"),
+)
+def call_batch(
+    tumor: ColumnBatch,
+    normal: ColumnBatch,
+    n_total_tumor,
+    n_total_normal,
+    ref16,
+    ref_is_upper_n,
+    fk64,
+    coef64,
+    lhet64,
+    solo_prior,
+    joint_prior,
+    qadd_table,
+    q_r_int: int,
+    precision: str = "exact",
+    use_joint: bool = False,
+    min_somatic_qual: int = 15,
+    include_loh: bool = True,
+    include_gor: bool = True,
+    cap_mapq: int = 60,
+) -> CallResult:
+    """Batched glf_somatic (reference somatic_sniper.c:109-273).
+
+    ``n_total_*`` are the raw column depths including deleted bases (the
+    ``n1``/``n2`` arguments of the reference callback); ``ref16`` the 4-bit
+    reference code per column; ``ref_is_upper_n`` flags columns whose raw
+    reference character is exactly 'N' (reference line 127 checks the char,
+    not the code).
+    """
+    g_t = glfgen_batch(tumor, fk64, coef64, lhet64,
+                       precision=precision, cap_mapq=cap_mapq)
+    g_n = glfgen_batch(normal, fk64, coef64, lhet64,
+                       precision=precision, cap_mapq=cap_mapq)
+
+    cns_t = glf2cns_batch(g_t.lk, n_total_tumor, q_r_int)
+    cns_n = glf2cns_batch(g_n.lk, n_total_normal, q_r_int)
+
+    t_b1, t_b2, t_s1, t_s2 = cns_t
+    n_b1, n_b2, n_s1, n_s2 = cns_n
+
+    rb4 = ref16
+
+    # outer gate (reference somatic_sniper.c:127) + SNP gate (:156)
+    is_snp = (
+        (~ref_is_upper_n)
+        & (g_t.depth > 0)
+        & (g_n.depth > 0)
+        & (rb4 != 15)
+        & (t_b1 != 15)
+        & (n_b1 != 15)
+        & (t_b1 != n_b1)
+    )
+
+    tumor_snp_q = jnp.minimum(
+        jnp.where(t_b2 == rb4, t_s1, t_s1 + t_s2), 255
+    )
+    normal_snp_q = jnp.where(
+        (n_b1 != 15) & (n_b1 != rb4),
+        jnp.minimum(jnp.where(n_b2 == rb4, n_s1, n_s1 + n_s2), 255),
+        0,
+    )
+
+    qadd = make_qadd(qadd_table)
+    score = somatic_score_batch(
+        g_t.lk, g_n.lk, rb4, solo_prior, joint_prior, qadd, use_joint
+    )
+    qps = score.q_posterior_sum
+
+    # joint-aware effective genotypes (reference somatic_sniper.c:216-223;
+    # the truthiness test on the glfBase value means joint mode always
+    # overrides, solo mode never does)
+    tumor_eff = jnp.where(score.joint_tumor_gt != 0, score.joint_tumor_gt, t_b1)
+    normal_eff = jnp.where(
+        score.joint_normal_gt != 0, score.joint_normal_gt, n_b1
+    )
+
+    loh_filter = _proper_subset(tumor_eff, normal_eff)
+    gor_filter = (~_proper_subset(rb4, normal_eff)) & (
+        (tumor_eff & ~normal_eff) == rb4
+    )
+    emit = (
+        is_snp
+        & (min_somatic_qual <= qps)
+        & (include_loh | ~loh_filter)
+        & (include_gor | ~gor_filter)
+    )
+
+    # statuses (reference somatic_sniper.c:241-261)
+    t_status = jnp.where(
+        tumor_eff == normal_eff,
+        GERMLINE,
+        jnp.where(
+            _proper_subset(tumor_eff, normal_eff),
+            LOH,
+            jnp.where(qps > 0, SOMATIC, UNKNOWN),
+        ),
+    ).astype(I32)
+    n_status = jnp.where(n_b1 == rb4, WILDTYPE, GERMLINE).astype(I32)
+
+    return CallResult(
+        emit=emit,
+        tumor_gt=t_b1,
+        normal_gt=n_b1,
+        tumor_cnsq=t_s1,
+        normal_cnsq=n_s1,
+        tumor_vaq=tumor_snp_q,
+        normal_vaq=normal_snp_q,
+        somatic_score=qps,
+        joint_tumor_gt=score.joint_tumor_gt,
+        joint_normal_gt=score.joint_normal_gt,
+        joint_cnsq=score.joint_consensus_quality,
+        tumor_status=t_status,
+        normal_status=n_status,
+        tumor_eff_gt=tumor_eff,
+        normal_eff_gt=normal_eff,
+        tumor_depth=g_t.depth,
+        normal_depth=g_n.depth,
+    )

@@ -1,0 +1,283 @@
+"""Vectorized pileup columnarization: reads -> dense column batches.
+
+Inverts the reference's pull-based linked-list pileup
+(reference sniper_pileup.c:57-224): instead of advancing one reference
+position at a time and re-walking CIGARs, every (read, CIGAR-run) pair is
+expanded to per-column entries in one numpy pass, grouped by genomic
+position, and padded into ``[B, D]`` tensors for the batched TPU kernel.
+
+Replicated semantics:
+
+* read ingestion filter: ``!(flag & flag_mask) && !(mapq < thresh)``
+  (reference sniper_pileup.c:208)
+* zero-reference-length reads never enter the buffer
+  (end <= pos check, reference sniper_pileup.c:216)
+* per-column read view: M runs contribute (base, qual) at the aligned
+  query position; D runs contribute an ``is_del`` entry; N runs exclude
+  the read from those columns entirely (resolve_cigar's ret=0,
+  reference sniper_pileup.c:94-99); I/S consume query only; H/P and the
+  post-0.1.6 '='/'X' ops are ignored exactly like samtools-0.1.6.
+* a column exists for the caller when both samples have >= 1 entry
+  (reference sniper_pileup.c:256).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, NamedTuple
+
+import numpy as np
+
+from ..constants import (
+    BAM_DEF_MASK,
+    BAM_FREVERSE,
+    BAM_FUNMAP,
+    CDEL,
+    CINS,
+    CMATCH,
+    CREF_SKIP,
+    CSOFT_CLIP,
+)
+from ..io.bam import BamReads
+
+
+class ColumnarPileup(NamedTuple):
+    """Per-sample column entries, sorted by (tid, pos) key."""
+
+    keys: np.ndarray       # int64 (tid << 40 | pos) per entry, sorted
+    base16: np.ndarray     # uint8
+    baseq: np.ndarray      # uint8
+    mapq: np.ndarray       # uint8
+    strand: np.ndarray     # uint8
+    is_del: np.ndarray     # bool
+    ukeys: np.ndarray      # int64 unique column keys
+    offsets: np.ndarray    # int64 [n_cols + 1] entry offsets per column
+
+    @property
+    def depths(self) -> np.ndarray:
+        return np.diff(self.offsets)
+
+
+def make_key(tid, pos):
+    return (np.asarray(tid, np.int64) << 40) | np.asarray(pos, np.int64)
+
+
+def split_key(keys):
+    return (keys >> 40).astype(np.int32), (keys & ((1 << 40) - 1)).astype(
+        np.int64
+    )
+
+
+def _ragged_arange(lengths: np.ndarray) -> np.ndarray:
+    """[0..l0-1, 0..l1-1, ...] for the given segment lengths."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(lengths)
+    return np.arange(total, dtype=np.int64) - np.repeat(
+        ends - lengths, lengths
+    )
+
+
+def columnize(
+    reads: BamReads,
+    flag_mask: int = BAM_DEF_MASK,
+    mapq_thresh: int = 0,
+    window: tuple[int, int, int] | None = None,
+) -> ColumnarPileup:
+    """Expand filtered reads into per-column entries.
+
+    ``window``: optional (tid, start, end) restriction — reads overlapping
+    the window contribute only their in-window columns (halo handling for
+    sharded processing).
+    """
+    fmask = BAM_FUNMAP | flag_mask
+    keep = ((reads.flag.astype(np.int64) & fmask) == 0) & (
+        reads.mapq >= mapq_thresh
+    )
+    ridx = np.nonzero(keep)[0]
+
+    if window is not None:
+        wtid, wstart, wend = window
+    # Per-read CIGAR runs
+    n_cig = reads.n_cigar[ridx].astype(np.int64)
+    run_read = np.repeat(ridx, n_cig)                # read index per run
+    ci = reads.cigar_off[ridx]
+    flat_idx = np.repeat(ci, n_cig) + _ragged_arange(n_cig)
+    runs = reads.cigar[flat_idx]
+    op = (runs & 0xF).astype(np.int32)
+    ln = (runs >> 4).astype(np.int64)
+
+    consumes_ref = (op == CMATCH) | (op == CDEL) | (op == CREF_SKIP)
+    consumes_query = (op == CMATCH) | (op == CINS) | (op == CSOFT_CLIP)
+
+    # x_start / y_start per run via segmented exclusive cumsum
+    ref_len = np.where(consumes_ref, ln, 0)
+    q_len = np.where(consumes_query, ln, 0)
+
+    def seg_excl_cumsum(vals, seg_read):
+        """Exclusive cumulative sum within each run of equal seg_read."""
+        if len(vals) == 0:
+            return np.zeros(0, dtype=np.int64)
+        cs = np.cumsum(vals)
+        seg_change = np.empty(len(vals), dtype=bool)
+        seg_change[0] = True
+        seg_change[1:] = seg_read[1:] != seg_read[:-1]
+        seg_starts = np.nonzero(seg_change)[0]
+        before_seg = np.repeat(cs[seg_starts] - vals[seg_starts],
+                               np.diff(np.append(seg_starts, len(vals))))
+        return cs - vals - before_seg
+
+    x_rel = seg_excl_cumsum(ref_len, run_read)
+    y_rel = seg_excl_cumsum(q_len, run_read)
+    x0 = reads.pos[run_read].astype(np.int64) + x_rel
+    y0 = y_rel
+
+    # keep only M and D runs; drop reads with zero reference footprint is
+    # implicit (they produce no M/D runs)
+    is_m = op == CMATCH
+    is_d = op == CDEL
+    sel = is_m | is_d
+    if window is not None:
+        # clip runs to the window
+        tid_run = reads.tid[run_read]
+        sel &= tid_run == wtid
+    run_read, x0, y0, ln = run_read[sel], x0[sel], y0[sel], ln[sel]
+    del_run = is_d[sel]
+
+    if window is not None:
+        clip_lo = np.maximum(x0, wstart)
+        clip_hi = np.minimum(x0 + ln, wend)
+        adv = clip_lo - x0
+        y0 = y0 + np.where(del_run, 0, adv)
+        ln2 = clip_hi - clip_lo
+        x0 = clip_lo
+        keep_run = ln2 > 0
+        run_read = run_read[keep_run]
+        x0, y0 = x0[keep_run], y0[keep_run]
+        ln = ln2[keep_run]
+        del_run = del_run[keep_run]
+
+    # expand runs to per-column entries
+    within = _ragged_arange(ln)
+    e_read = np.repeat(run_read, ln)
+    e_del = np.repeat(del_run, ln)
+    e_col = np.repeat(x0, ln) + within
+    e_qpos = np.repeat(y0, ln) + np.where(e_del, 0, within)
+
+    # field gathers
+    so = reads.seq_off[e_read]
+    max_q = np.maximum(reads.l_qseq[e_read].astype(np.int64) - 1, 0)
+    qp = np.minimum(e_qpos, max_q)  # clamp (del entries never read fields)
+    base16 = reads.seq[so + qp]
+    baseq = reads.qual[so + qp]
+    mapq = reads.mapq[e_read]
+    strand = ((reads.flag[e_read] & BAM_FREVERSE) != 0).astype(np.uint8)
+
+    keys = make_key(reads.tid[e_read], e_col)
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    ukeys, first = np.unique(keys, return_index=True)
+    offsets = np.append(first, len(keys)).astype(np.int64)
+
+    return ColumnarPileup(
+        keys=keys,
+        base16=base16[order].astype(np.uint8),
+        baseq=baseq[order].astype(np.uint8),
+        mapq=mapq[order].astype(np.uint8),
+        strand=strand[order],
+        is_del=e_del[order],
+        ukeys=ukeys,
+        offsets=offsets,
+    )
+
+
+DEPTH_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+
+
+def bucket_for(depth: int) -> int:
+    for b in DEPTH_BUCKETS:
+        if depth <= b:
+            return b
+    return int(depth)
+
+
+class PairedBatch(NamedTuple):
+    """One dense batch of intersected tumor/normal columns."""
+
+    keys: np.ndarray         # [B] int64 column keys
+    ref16: np.ndarray        # [B] int32 (filled by caller)
+    tumor: dict              # field name -> [B, D] arrays
+    normal: dict
+    n_tumor: np.ndarray      # [B] total entry counts (incl. is_del)
+    n_normal: np.ndarray
+
+
+def _pad_columns(pu: ColumnarPileup, col_idx: np.ndarray, D: int) -> dict:
+    counts = pu.depths[col_idx]
+    starts = pu.offsets[col_idx]
+    B = len(col_idx)
+    rows = np.repeat(np.arange(B, dtype=np.int64), counts)
+    cols = _ragged_arange(counts)
+    src = np.repeat(starts, counts) + cols
+    out = {
+        "base16": np.zeros((B, D), np.int32),
+        "baseq": np.zeros((B, D), np.int32),
+        "mapq": np.zeros((B, D), np.int32),
+        "strand": np.zeros((B, D), np.int32),
+        "is_del": np.zeros((B, D), bool),
+        "valid": np.zeros((B, D), bool),
+    }
+    out["base16"][rows, cols] = pu.base16[src]
+    out["baseq"][rows, cols] = pu.baseq[src]
+    out["mapq"][rows, cols] = pu.mapq[src]
+    out["strand"][rows, cols] = pu.strand[src]
+    out["is_del"][rows, cols] = pu.is_del[src]
+    out["valid"][rows, cols] = True
+    return out
+
+
+def paired_batches(
+    tumor: ColumnarPileup,
+    normal: ColumnarPileup,
+    max_batch: int = 16384,
+) -> Iterator[PairedBatch]:
+    """Intersect non-empty columns of both samples and yield dense batches
+    bucketed by depth (keeps XLA shape variety bounded)."""
+    shared, ti, ni = np.intersect1d(
+        tumor.ukeys, normal.ukeys, assume_unique=True, return_indices=True
+    )
+    if len(shared) == 0:
+        return
+    d_t = tumor.depths[ti]
+    d_n = normal.depths[ni]
+    dmax = np.maximum(d_t, d_n)
+    bucket_of = np.searchsorted(np.array(DEPTH_BUCKETS), dmax)
+    bucket_of = np.minimum(bucket_of, len(DEPTH_BUCKETS) - 1)
+    oversize = dmax > DEPTH_BUCKETS[-1]
+
+    for bi in range(len(DEPTH_BUCKETS)):
+        mask = (bucket_of == bi) & ~oversize
+        idx = np.nonzero(mask)[0]
+        D = DEPTH_BUCKETS[bi]
+        for s in range(0, len(idx), max_batch):
+            sub = idx[s : s + max_batch]
+            yield PairedBatch(
+                keys=shared[sub],
+                ref16=np.zeros(len(sub), np.int32),
+                tumor=_pad_columns(tumor, ti[sub], D),
+                normal=_pad_columns(normal, ni[sub], D),
+                n_tumor=d_t[sub].astype(np.int32),
+                n_normal=d_n[sub].astype(np.int32),
+            )
+    # oversize columns: one batch each at their own depth
+    for i in np.nonzero(oversize)[0]:
+        D = int(dmax[i])
+        yield PairedBatch(
+            keys=shared[i : i + 1],
+            ref16=np.zeros(1, np.int32),
+            tumor=_pad_columns(tumor, ti[i : i + 1], D),
+            normal=_pad_columns(normal, ni[i : i + 1], D),
+            n_tumor=d_t[i : i + 1].astype(np.int32),
+            n_normal=d_n[i : i + 1].astype(np.int32),
+        )

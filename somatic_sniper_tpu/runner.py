@@ -1,0 +1,214 @@
+"""Single-host calling driver: BAM pair -> batched kernel -> records.
+
+This is the TPU-native inversion of the reference's main loop
+(reference sniper_pileup.c:226-266 + somatic_sniper.c:109-273): instead of
+one callback per reference position, whole windows of pileup columns are
+columnarized on the host, scored as dense batches on the device, and only
+emitted sites return to the host for exact dqstats + text formatting.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass
+from typing import Iterator
+
+import jax.numpy as jnp
+import numpy as np
+
+from .constants import NT16_TABLE
+from .io.bam import BamHeader, BamReads, read_bam
+from .io.fasta import FastaFile
+from .models.glfgen import ColumnBatch
+from .models.somatic import CallResult, call_batch
+from .models.tables import ModelParams, ModelTables, build_tables
+from .output.dqstats import get_dqstats
+from .output.records import SampleData, SniperRecord
+from .pileup.columnize import (
+    ColumnarPileup,
+    PairedBatch,
+    columnize,
+    paired_batches,
+    split_key,
+)
+
+
+@dataclass
+class RefCache:
+    """Per-tid reference fetch cache (reference somatic_sniper.c:112-117)."""
+
+    fasta: FastaFile | None
+    header: BamHeader
+
+    def __post_init__(self):
+        self._tid = -1
+        self._seq: bytes | None = None
+
+    def get(self, tid: int) -> bytes | None:
+        if tid != self._tid:
+            self._tid = tid
+            name = self.header.ref_names[tid]
+            self._seq = self.fasta.fetch(name) if self.fasta else None
+        return self._seq
+
+
+def _ref_arrays(batch: PairedBatch, refcache: RefCache):
+    """Raw ref char + 4-bit code per column of a batch."""
+    tids, poss = split_key(batch.keys)
+    chars = np.full(len(tids), ord("N"), np.int32)
+    for tid in np.unique(tids):
+        seq = refcache.get(int(tid))
+        m = tids == tid
+        if seq is None:
+            continue
+        p = poss[m]
+        ok = p < len(seq)
+        arr = np.frombuffer(seq, dtype=np.uint8)
+        vals = np.where(ok, arr[np.minimum(p, len(seq) - 1)], ord("N"))
+        chars[m] = vals
+    ref16 = NT16_TABLE[chars].astype(np.int32)
+    return chars, ref16
+
+
+def _to_column_batch(fields: dict, ref16: np.ndarray) -> ColumnBatch:
+    return ColumnBatch(
+        base16=jnp.asarray(fields["base16"]),
+        baseq=jnp.asarray(fields["baseq"]),
+        mapq=jnp.asarray(fields["mapq"]),
+        strand=jnp.asarray(fields["strand"]),
+        is_del=jnp.asarray(fields["is_del"]),
+        valid=jnp.asarray(fields["valid"]),
+        ref16=jnp.asarray(ref16),
+    )
+
+
+def _column_slice(pu: ColumnarPileup, key: int):
+    i = int(np.searchsorted(pu.ukeys, key))
+    s, e = int(pu.offsets[i]), int(pu.offsets[i + 1])
+    return slice(s, e)
+
+
+def _sample_data(pu, sl, rb4, wanted, gt, jgt, jcq, cnsq, vaq, score, status):
+    dq = get_dqstats(
+        pu.base16[sl], pu.baseq[sl], pu.mapq[sl], pu.strand[sl],
+        pu.is_del[sl], rb4, wanted,
+    )
+    return SampleData(
+        genotype=gt,
+        joint_genotype=jgt,
+        joint_consensus_quality=jcq,
+        consensus_quality=cnsq,
+        variant_allele_quality=vaq,
+        somatic_score=score,
+        variant_status=status,
+        dqstats=dq,
+    )
+
+
+def call_pair(
+    tumor_bam: str,
+    normal_bam: str,
+    ref_fasta: str | None,
+    params: ModelParams = ModelParams(),
+    precision: str = "exact",
+    max_batch: int = 16384,
+) -> Iterator[SniperRecord]:
+    """Run the full caller, yielding emitted records in coordinate order."""
+    header_t, reads_t = read_bam(tumor_bam)
+    header_n, reads_n = read_bam(normal_bam)
+    fasta = FastaFile(ref_fasta) if ref_fasta else None
+    refcache = RefCache(fasta, header_t)
+    tabs = build_tables(params)
+
+    pu_t = columnize(reads_t, params.flag_mask, params.mapq_threshold)
+    pu_n = columnize(reads_n, params.flag_mask, params.mapq_threshold)
+
+    records: list[tuple[int, SniperRecord]] = []
+    for batch in paired_batches(pu_t, pu_n, max_batch=max_batch):
+        chars, ref16 = _ref_arrays(batch, refcache)
+        res = run_call_batch(batch, ref16, chars, tabs, precision)
+        records.extend(
+            emit_records(batch, res, chars, ref16, pu_t, pu_n,
+                         refcache.header)
+        )
+    records.sort(key=lambda kv: kv[0])
+    for _, rec in records:
+        yield rec
+
+
+def run_call_batch(
+    batch: PairedBatch,
+    ref16: np.ndarray,
+    chars: np.ndarray,
+    tabs: ModelTables,
+    precision: str,
+) -> CallResult:
+    p = tabs.params
+    return call_batch(
+        _to_column_batch(batch.tumor, ref16),
+        _to_column_batch(batch.normal, ref16),
+        jnp.asarray(batch.n_tumor),
+        jnp.asarray(batch.n_normal),
+        jnp.asarray(ref16),
+        jnp.asarray(chars == ord("N")),
+        tabs.fk,
+        tabs.coef,
+        tabs.lhet,
+        tabs.solo_prior,
+        tabs.joint_prior,
+        tabs.qadd,
+        tabs.q_r_int,
+        precision=precision,
+        use_joint=p.use_joint_priors,
+        min_somatic_qual=p.min_somatic_qual,
+        include_loh=p.include_loh,
+        include_gor=p.include_gor,
+        cap_mapq=p.cap_mapq,
+    )
+
+
+def emit_records(
+    batch: PairedBatch,
+    res: CallResult,
+    chars: np.ndarray,
+    ref16: np.ndarray,
+    pu_t: ColumnarPileup,
+    pu_n: ColumnarPileup,
+    header: BamHeader,
+) -> list[tuple[int, SniperRecord]]:
+    emit = np.asarray(res.emit)
+    idx = np.nonzero(emit)[0]
+    out = []
+    f = {k: np.asarray(v) for k, v in res._asdict().items()}
+    for i in idx:
+        key = int(batch.keys[i])
+        tid = key >> 40
+        pos = key & ((1 << 40) - 1)
+        rb4 = int(ref16[i])
+        wanted = rb4 | int(f["tumor_eff_gt"][i]) | int(f["normal_eff_gt"][i])
+        sl_t = _column_slice(pu_t, key)
+        sl_n = _column_slice(pu_n, key)
+        tumor = _sample_data(
+            pu_t, sl_t, rb4, wanted,
+            int(f["tumor_gt"][i]), int(f["joint_tumor_gt"][i]),
+            int(f["joint_cnsq"][i]), int(f["tumor_cnsq"][i]),
+            int(f["tumor_vaq"][i]), int(f["somatic_score"][i]),
+            int(f["tumor_status"][i]),
+        )
+        normal = _sample_data(
+            pu_n, sl_n, rb4, wanted,
+            int(f["normal_gt"][i]), int(f["joint_normal_gt"][i]),
+            int(f["joint_cnsq"][i]), int(f["normal_cnsq"][i]),
+            int(f["normal_vaq"][i]), -1,
+            int(f["normal_status"][i]),
+        )
+        rec = SniperRecord(
+            seq_name=header.ref_names[tid],
+            pos=int(pos),
+            ref_base=int(chars[i]),
+            ref_base4=rb4,
+            tumor=tumor,
+            normal=normal,
+        )
+        out.append((key, rec))
+    return out

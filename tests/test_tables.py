@@ -1,0 +1,40 @@
+"""Table precompute vs. reference-oracle fixtures (bit-exact)."""
+
+import numpy as np
+
+from somatic_sniper_tpu.models import tables as T
+
+
+def test_tables_match_reference_dump(data_dir):
+    fix = np.load(data_dir / "ref_tables_default.npz")
+    fk, _ = T.compute_fk(0.85, 0.03)
+    assert np.array_equal(fk, fix["fk"])
+
+    lhet, qr = T.compute_lhet(0.001, 2)
+    assert np.array_equal(lhet, fix["lhet"])
+    assert np.float32(qr) == fix["qr"][0]
+
+    coef = T.compute_coef(0.85, 0.03)
+    got = coef[fix["coef_q"], fix["coef_n"], fix["coef_k"]]
+    assert np.array_equal(got, fix["coef_v"])
+
+
+def test_priors_and_qadd():
+    solo = T.compute_solo_prior()
+    # ref A (1): AA prior 0, AC (het w/ ref) logPhred(0.001)=30,
+    # CC hom mutant logPhred(0.0005)=33, CG double logPhred(1e-6)=60
+    assert solo[1, 0] == 0
+    assert solo[1, 1] == 30
+    assert solo[1, 4] == 33
+    assert solo[1, 5] == 60
+
+    qadd = T.compute_qadd_table()
+    assert qadd.shape == (1024,)
+    assert (qadd[1000:] == 0).all()
+    # qAdd(x, x): i=512 -> logPhred(1+exp(0)) = (int)(-0.5-4.343*log(2)) = -3
+    assert qadd[512] == -3
+
+
+def test_q_r_int_default():
+    t = T.build_tables()
+    assert t.q_r_int == 27
