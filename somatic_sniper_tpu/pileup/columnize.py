@@ -79,6 +79,41 @@ def _ragged_arange(lengths: np.ndarray) -> np.ndarray:
     )
 
 
+def _read_end(reads: BamReads, r: int) -> int:
+    """bam_calend (vendor bam.c:37-48): pos + M/D/N reference span."""
+    runs = reads.cigar[reads.cigar_off[r] : reads.cigar_off[r + 1]]
+    op = runs & 0xF
+    ln = (runs >> 4).astype(np.int64)
+    span = ln[(op == CMATCH) | (op == CDEL) | (op == CREF_SKIP)].sum()
+    return int(reads.pos[r]) + int(span)
+
+
+def _drop_contig_transition_reads(
+    reads: BamReads, ridx: np.ndarray
+) -> np.ndarray:
+    """Replicate a reference pileup quirk (sniper_pileup.c:216): the first
+    filter-passing read of each subsequent contig is silently dropped when
+    its end is <= the buffer position reached on the previous contig (the
+    ``end > pos`` ingestion check runs before the tid jump resets pos, and
+    pos equals the start of the previous contig's last read at that
+    moment)."""
+    if len(ridx) < 2:
+        return ridx
+    tids = reads.tid[ridx]
+    boundaries = np.nonzero(tids[1:] != tids[:-1])[0] + 1
+    if len(boundaries) == 0:
+        return ridx
+    drop = []
+    for j in boundaries:
+        first_new = int(ridx[j])
+        prev_last = int(ridx[j - 1])
+        if _read_end(reads, first_new) <= int(reads.pos[prev_last]):
+            drop.append(j)
+    if drop:
+        ridx = np.delete(ridx, drop)
+    return ridx
+
+
 def columnize(
     reads: BamReads,
     flag_mask: int = BAM_DEF_MASK,
@@ -96,6 +131,7 @@ def columnize(
         reads.mapq >= mapq_thresh
     )
     ridx = np.nonzero(keep)[0]
+    ridx = _drop_contig_transition_reads(reads, ridx)
 
     if window is not None:
         wtid, wstart, wend = window

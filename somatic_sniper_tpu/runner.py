@@ -136,7 +136,48 @@ def call_pair(
         yield rec
 
 
+def _pad_b(arr: np.ndarray, B: int):
+    """Pad the leading (batch) axis to B with zeros."""
+    if arr.shape[0] == B:
+        return arr
+    pad = [(0, B - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, pad)
+
+
+def _b_bucket(b: int, minimum: int = 256) -> int:
+    B = minimum
+    while B < b:
+        B *= 2
+    return B
+
+
 def run_call_batch(
+    batch: PairedBatch,
+    ref16: np.ndarray,
+    chars: np.ndarray,
+    tabs: ModelTables,
+    precision: str,
+) -> CallResult:
+    # pad the batch axis to a power-of-two bucket so XLA compiles once per
+    # (B, D) bucket instead of once per distinct column count
+    b0 = len(batch.keys)
+    B = _b_bucket(b0)
+    batch = PairedBatch(
+        keys=batch.keys,
+        ref16=batch.ref16,
+        tumor={k: _pad_b(v, B) for k, v in batch.tumor.items()},
+        normal={k: _pad_b(v, B) for k, v in batch.normal.items()},
+        n_tumor=_pad_b(batch.n_tumor, B),
+        n_normal=_pad_b(batch.n_normal, B),
+    )
+    ref16 = _pad_b(ref16, B)
+    chars = _pad_b(chars, B)
+    p = tabs.params
+    res = _padded_call(batch, ref16, chars, tabs, precision)
+    return CallResult(*(np.asarray(v)[:b0] for v in res))
+
+
+def _padded_call(
     batch: PairedBatch,
     ref16: np.ndarray,
     chars: np.ndarray,
