@@ -53,11 +53,7 @@ def _proper_subset(a, b):
     return (b != a) & ((a & b) == a)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("precision", "use_joint", "min_somatic_qual",
-                     "include_loh", "include_gor", "cap_mapq"),
-)
+@partial(jax.jit, static_argnames=("precision", "use_joint", "cap_mapq"))
 def call_batch(
     tumor: ColumnBatch,
     normal: ColumnBatch,
