@@ -46,46 +46,30 @@ def glf2cns_batch(lk, n_total, q_r_int) -> ConsensusCall:
     int32 fields — the reference's u32 bit-packing is a C artifact, not
     part of the model.
     """
-    B = lk.shape[0]
-    # tmp[i<<2|j] for i<=j = lk[idx] + (i==j ? 0 : q_r); others -1.
-    # The reference scans linear indices 0..15 with strict < comparisons
-    # (first minimum wins).  We unroll the same scan.
-    big = jnp.int32(10000)
-    mn = jnp.full((B,), big, I32)
-    mn2 = jnp.full((B,), big, I32)
-    mn3 = jnp.full((B,), big, I32)
-    min_g = jnp.full((B,), -1, I32)
-    min_g2 = jnp.full((B,), -1, I32)
+    # The reference scans the 10 valid entries of tmp[16] in linear-index
+    # order, keeping the 3 smallest with strict-< comparisons (first index
+    # wins; sniper_maqcns.c:252-266).  Linear order over the upper triangle
+    # is exactly the lk order, so the scan is equivalent to three masked
+    # argmins over [B, 10]: argmin returns the first minimum, and masking
+    # prior winners reproduces the scan's tie behaviour for min2/min3.
+    qr_vec = np.full(10, 1, np.int32)
+    qr_vec[[0, 4, 7, 9]] = 0  # homozygous slots get no het penalty
+    t = lk + jnp.asarray(qr_vec) * q_r_int  # [B, 10]
 
-    # linear index i*4+j maps to lk slot via upper-triangular order
-    tri_index = {}
-    c = 0
-    for i in range(4):
-        for j in range(i, 4):
-            tri_index[(i, j)] = c
-            c += 1
+    BIG = jnp.int32(1 << 20)
+    i1 = jnp.argmin(t, axis=1).astype(I32)
+    m1 = jnp.min(t, axis=1)
+    t2 = t + jax.nn.one_hot(i1, 10, dtype=I32) * BIG
+    i2 = jnp.argmin(t2, axis=1).astype(I32)
+    m2 = jnp.min(t2, axis=1)
+    t3 = t2 + jax.nn.one_hot(i2, 10, dtype=I32) * BIG
+    m3 = jnp.min(t3, axis=1)
 
-    for lin in range(16):
-        i, j = lin >> 2, lin & 3
-        if i > j:
-            continue  # tmp = -1, skipped by the reference's `< 0` guard
-        t = lk[:, tri_index[(i, j)]] + (0 if i == j else q_r_int)
-        lt1 = t < mn
-        lt2 = (~lt1) & (t < mn2)
-        lt3 = (~lt1) & (~lt2) & (t < mn3)
-        mn3 = jnp.where(lt1, mn2, jnp.where(lt2, mn2, jnp.where(lt3, t, mn3)))
-        mn2 = jnp.where(lt1, mn, jnp.where(lt2, t, mn2))
-        min_g2 = jnp.where(lt1, min_g, jnp.where(lt2, lin, min_g2))
-        mn = jnp.where(lt1, t, mn)
-        min_g = jnp.where(lt1, lin, min_g)
-
-    def gt_bits(g):
-        return (1 << ((g >> 2) & 3)) | (1 << (g & 3))
-
-    cns1 = jnp.where(min_g >= 0, gt_bits(min_g), 0xF)
-    cns2 = jnp.where(min_g2 >= 0, gt_bits(min_g2), 0xF)
-    q1 = jnp.where(mn2 < big, jnp.minimum(mn2 - mn, 255), 0xFF)
-    q2 = jnp.where((mn2 < big) & (mn3 < big), jnp.minimum(mn3 - mn2, 255), 0xFF)
+    # the genotype bit-set of slot c is glfBase[c] by construction
+    cns1 = _select_scalar(GLF_BASE, i1)
+    cns2 = _select_scalar(GLF_BASE, i2)
+    q1 = jnp.minimum(m2 - m1, 255)
+    q2 = jnp.minimum(m3 - m2, 255)
 
     # reference sniper_maqcns.c:275-282: n == 0 -> 0xf<<28 | 0xf<<24
     nz = n_total > 0
@@ -97,18 +81,31 @@ def glf2cns_batch(lk, n_total, q_r_int) -> ConsensusCall:
     )
 
 
-def make_qadd(qadd_table):
+def make_qadd(qadd_table=None):
     """Return the batched qAdd op (reference somatic_sniper.c:13-18).
 
-    qAdd(x, y) = x + qAddTable[512 + y - x].  Indices stay within the
-    1024-entry table for all reachable values (entries 1000..1023 are zero
-    as in the reference's static array); we clip for memory safety.
+    qAdd(x, y) = x + qAddTable[512 + y - x].  The 1024-entry table has a
+    closed integer form (verified bit-exact against the generated table in
+    tests): with d = clip(y - x, -512, 511),
+
+        qAdd(x, y) = x + min(d, 0) - (|d|<2) - (|d|<4) - (|d|<10)
+
+    because qAddTable[512+d] = S(|d|) + min(d, 0) where S steps through
+    -3/-2/-1/0 at |d| = 2, 4, 10 (phred-space logsumexp correction), and
+    the zero entries at indices >= 1000 coincide with S = 0.  This removes
+    every per-element table gather from the score pipeline — a large win
+    on TPU, where vector gathers serialize onto the scalar core.  The clip
+    mirrors the bounds-guard of the table variant (the reference would
+    read out of bounds there; unreachable for well-formed inputs).
     """
-    table = jnp.asarray(qadd_table, dtype=I32)
 
     def qadd(x, y):
-        idx = jnp.clip(512 + y - x, 0, 1023)
-        return x + table[idx]
+        d = jnp.clip(y - x, -512, 511)
+        a = jnp.abs(d)
+        corr = (
+            (a < 2).astype(I32) + (a < 4).astype(I32) + (a < 10).astype(I32)
+        )
+        return x + jnp.minimum(d, 0) - corr
 
     return qadd
 
@@ -118,13 +115,33 @@ def posteriors_batch(lk, ref16, solo_prior, qadd):
 
     lk: [B,10] i32, ref16: [B] i32.  Returns lkResult [B,10] i32.
     """
-    prior = jnp.asarray(solo_prior, dtype=I32)[ref16]  # [B,10]
+    # one-hot matmul instead of a row gather (TPU-friendly; values are
+    # small ints, exact in f32)
+    prior = _row_select(solo_prior, ref16)  # [B,10]
     x = lk + prior
     qsum = jnp.full(x.shape[:1], 255, I32)
     for j in range(10):
         qsum = qadd(x[:, j], qsum)  # qAdd(x, qSum): note argument order
     res = jnp.minimum(x - qsum[:, None], 255)
     return res
+
+
+def _row_select(table, idx):
+    """table[idx] for a small table via one-hot matmul (int-exact in f32)."""
+    t = jnp.asarray(table)
+    oh = jax.nn.one_hot(idx, t.shape[0], dtype=jnp.float32)
+    flat = t.reshape(t.shape[0], -1).astype(jnp.float32)
+    out = oh @ flat
+    return out.reshape((idx.shape[0],) + t.shape[1:]).astype(t.dtype)
+
+
+def _select_scalar(values, idx):
+    """values[idx] for a tiny 1-D int table via unrolled selects."""
+    v = np.asarray(values)
+    out = jnp.zeros(idx.shape, I32)
+    for k in range(len(v)):
+        out = jnp.where(idx == k, int(v[k]), out)
+    return out
 
 
 class SomaticScore(NamedTuple):
@@ -145,34 +162,24 @@ def somatic_score_batch(
 ):
     """The somatic-score core (reference somatic_sniper.c:166-214)."""
     B = lk_tumor.shape[0]
-    glf_base = jnp.asarray(GLF_BASE, dtype=I32)
-
     if use_joint:
-        jp = jnp.asarray(joint_prior, dtype=I32)[ref16]       # [B,10,10]
+        jp = _row_select(joint_prior, ref16)                  # [B,10,10]
         joint_lk = jnp.minimum(
             lk_normal[:, :, None] + lk_tumor[:, None, :] + jp, 255
         )  # [B,10,10], i = normal, j = tumor
         flat = joint_lk.reshape(B, 100)
 
-        # marginal + argmin with the reference's row-major strict-< scan
-        marginal = jnp.full((B,), 255, I32)
-        best = jnp.full((B,), 1000, I32)
-        best_idx = jnp.full((B,), -1, I32)
-
-        def mstep(t, carry):
-            marginal, best, best_idx = carry
-            v = flat[:, t]
-            lt = v < best
-            best = jnp.where(lt, v, best)
-            best_idx = jnp.where(lt, t, best_idx)
-            marginal = qadd(marginal, v)  # qAdd(marginal, joint_lk)
-            return marginal, best, best_idx
-
-        marginal, best, best_idx = jax.lax.fori_loop(
-            0, 100, mstep, (marginal, best, best_idx)
-        )
+        # the reference's row-major strict-< argmin scan == jnp.argmin
+        # (first minimum wins) over the row-major flattening
+        best_idx = jnp.argmin(flat, axis=1).astype(I32)
         ni = best_idx // 10
         tj = best_idx % 10
+
+        # marginal: sequential 100-step qAdd fold, unrolled (each step is
+        # a handful of VPU ops thanks to the arithmetic qAdd)
+        marginal = jnp.full((B,), 255, I32)
+        for t in range(100):
+            marginal = qadd(marginal, flat[:, t])
 
         qps = jnp.full((B,), 255, I32)
         jcq = jnp.full((B,), 255, I32)
@@ -185,8 +192,8 @@ def somatic_score_batch(
         jcq = jnp.minimum(jcq, 255)
         return SomaticScore(
             q_posterior_sum=qps,
-            joint_tumor_gt=glf_base[tj],
-            joint_normal_gt=glf_base[ni],
+            joint_tumor_gt=_select_scalar(GLF_BASE, tj),
+            joint_normal_gt=_select_scalar(GLF_BASE, ni),
             joint_consensus_quality=jcq,
         )
     else:

@@ -146,47 +146,93 @@ def _exact_accumulate(info_sorted, n, fk64, cap_mapq, max_w=255):
     return esum, fsum, c, rms
 
 
-def _fast_accumulate(info_sorted, n, fk64, cap_mapq, max_w=255):
+def _fast_accumulate(info, n, theta, eta, cap_mapq, max_w=255):
     """Vectorized float32 version of the descending-rank accumulation.
 
     The fk weight of a read equals fk[r] where r is the number of
-    higher-sorted reads of the same (base, strand) class with effQ > 0
-    (because the reference's ``w[k]`` counter only increments for those;
-    sniper_maqcns.c:162-175).  Ranks are computed with an exclusive cumsum
-    over the descending order, then the per-base sums become masked
-    reductions — no sequential carry, fully VPU/MXU friendly.
-    """
-    B, D = info_sorted.shape
-    fk = jnp.asarray(fk64, dtype=F32)
-    desc = info_sorted[:, ::-1]                       # descending order
-    j_idx = jax.lax.broadcasted_iota(I32, (B, D), 1)
-    # descending order puts the (D - n) pad slots (+inf keys) first
-    alive = j_idx >= (D - n)[:, None]
+    higher-key reads of the same (base, strand) class whose (floored)
+    effQ is > 0 (the reference's ``w[k]`` counter only increments for
+    those; sniper_maqcns.c:162-175).  Instead of materializing [B, D, 8]
+    one-hot tensors, entries are re-sorted class-major / key-descending:
+    within a class the global key order reduces to the 25-bit
+    (effQ, valid, baseQ, mapQ) sub-key, so ``class<<26 | ~subkey`` is a
+    single uint32 sort after which ranks fall out of one [B, D] cumsum.
 
-    effq = (desc >> 24).astype(I32)
-    low6 = ((desc >> 8) & 0x3F).astype(I32)
+    ``info`` is the *unsorted* packed key array (pads = 0xFFFFFFFF).
+    """
+    B, D = info.shape
+    j_idx = jax.lax.broadcasted_iota(I32, (B, D), 1)
+
+    # order-independent pieces straight from the unsorted keys
+    alive0 = info != jnp.uint32(0xFFFFFFFF)
+    mq0 = jnp.minimum((info & 0x7F).astype(I32), cap_mapq)
+    rms = jnp.where(alive0, mq0 * mq0, 0).sum(axis=1)
+
+    # class-major, key-descending composite sort key (29 bits)
+    effq0 = (info >> 24).astype(I32)
+    valid0 = ((info >> 21) & 1).astype(I32)
+    baseq0 = ((info >> 8) & 0xFF).astype(I32)
+    mapq0 = (info & 0xFF).astype(I32)
+    k8_0 = ((info >> 16) & 7).astype(I32)
+    ck = (effq0 << 17) | (valid0 << 16) | (baseq0 << 8) | mapq0
+    key2 = (k8_0.astype(jnp.uint32) << 26) | (
+        jnp.uint32((1 << 25) - 1) - ck.astype(jnp.uint32)
+    )
+    key2 = jnp.where(alive0, key2, jnp.uint32(0xFFFFFFFF))
+    key2 = jnp.sort(key2, axis=1)
+
+    alive = j_idx < n[:, None]
+    k8 = (key2 >> 26).astype(I32) & 7
+    inv = (key2 & ((1 << 26) - 1)).astype(I32)
+    ck_s = ((1 << 25) - 1) - inv
+    effq = ck_s >> 17
+    low6 = (ck_s >> 8) & 0x3F
     effq = jnp.where((effq < 4) & (low6 != 0), 4, effq)
-    k8 = ((desc >> 16) & 7).astype(I32)
     k4 = k8 & 3
     upd = alive & (effq > 0)
 
-    oh8 = jax.nn.one_hot(k8, 8, dtype=I32) * upd[:, :, None].astype(I32)
-    # exclusive cumulative same-class count = the reference's w[k] at visit
-    rank = jnp.cumsum(oh8, axis=1) - oh8              # [B, D, 8]
-    w_k = jnp.take_along_axis(
-        rank, k8[:, :, None], axis=2
-    )[:, :, 0]
-    fkw = fk[jnp.clip(w_k, 0, max_w)] * upd.astype(F32)
+    # within-class rank among upd entries = the reference's w[k] at visit.
+    # All index lookups are expressed as one-hot contractions: TPU has no
+    # vector gather (XLA serializes gathers onto the scalar core).
+    cs_excl = jnp.cumsum(upd.astype(I32), axis=1) - upd.astype(I32)
+    class_cnt = jnp.stack(
+        [((k8 == k) & alive).sum(axis=1) for k in range(8)], axis=1
+    )  # [B, 8] per-class totals (alive, incl. non-upd)
+    seg_start = jnp.cumsum(class_cnt, axis=1) - class_cnt
+    # cs_excl at each class's segment start: one-hot over D (exact in f32)
+    oh_start = jax.nn.one_hot(
+        jnp.minimum(seg_start, D - 1), D, dtype=F32
+    )  # [B, 8, D]
+    cs_at_start = jnp.einsum(
+        "bkd,bd->bk", oh_start, cs_excl.astype(F32)
+    )  # [B, 8]
+    # spread per-class offsets back to entries via class one-hot
+    oh_k8 = jax.nn.one_hot(k8, 8, dtype=F32)  # [B, D, 8]
+    start_of_entry = jnp.einsum("bdk,bk->bd", oh_k8, cs_at_start)
+    rank = cs_excl - start_of_entry.astype(I32)
 
-    oh4 = jax.nn.one_hot(k4, 4, dtype=F32) * upd[:, :, None].astype(F32)
-    esum = jnp.einsum("bd,bdk->bk", fkw * effq.astype(F32), oh4)
-    fsum = jnp.einsum("bd,bdk->bk", fkw, oh4)
-    c = jnp.einsum(
-        "bd,bdk->bk", upd.astype(I32).astype(F32), oh4
+    # fk[r] = theta^r*(1-eta)+eta computed in-register (fast path only;
+    # ~1 ulp from the f64 table, same order as the path's f32 noise)
+    theta32 = np.float32(theta)
+    eta32 = np.float32(eta)
+    r = jnp.clip(rank, 0, max_w).astype(F32)
+    log_theta = np.float32(np.log(np.float64(theta32))) if theta32 > 0 else \
+        np.float32(-1e30)
+    fkw = (
+        jnp.exp(r * log_theta) * (np.float32(1.0) - eta32) + eta32
+    ) * upd.astype(F32)
+    eterm = fkw * effq.astype(F32)
+    esum = jnp.stack(
+        [jnp.where(k4 == b, eterm, 0.0).sum(axis=1) for b in range(4)],
+        axis=1,
+    )
+    fsum = jnp.stack(
+        [jnp.where(k4 == b, fkw, 0.0).sum(axis=1) for b in range(4)],
+        axis=1,
+    )
+    c = jnp.stack(
+        [(upd & (k4 == b)).sum(axis=1) for b in range(4)], axis=1
     ).astype(I32)
-
-    tmp = jnp.minimum((desc & 0x7F).astype(I32), cap_mapq)
-    rms = jnp.where(alive, tmp * tmp, 0).sum(axis=1)
     return esum, fsum, c, rms
 
 
@@ -195,7 +241,7 @@ def _c_trunc_half(x64):
     return jnp.floor(x64 + 0.5).astype(I32)
 
 
-@partial(jax.jit, static_argnames=("precision", "cap_mapq"))
+@partial(jax.jit, static_argnames=("precision", "cap_mapq", "theta", "eta"))
 def glfgen_batch(
     cols: ColumnBatch,
     fk64,
@@ -203,19 +249,25 @@ def glfgen_batch(
     lhet64,
     precision: str = "exact",
     cap_mapq: int = 60,
+    theta: float = 0.85,
+    eta: float = 0.03,
 ) -> GlfResult:
-    """Batched sniper_maqcns_glfgen (reference sniper_maqcns.c:127-248)."""
+    """Batched sniper_maqcns_glfgen (reference sniper_maqcns.c:127-248).
+
+    ``theta``/``eta`` are only used by the fast path's in-register fk
+    computation; the exact path reads the float64 ``fk64`` table.
+    """
     acc_f = F64 if precision == "exact" else F32
 
     info, n = pack_info(cols)
-    info_sorted = jnp.sort(info, axis=1)
 
     if precision == "exact":
+        info_sorted = jnp.sort(info, axis=1)
         esum, fsum, c, rms = _exact_accumulate(info_sorted, n, fk64, cap_mapq)
         coef = jnp.asarray(coef64, dtype=F64)
         lhet = jnp.asarray(lhet64, dtype=F64)
     else:
-        esum, fsum, c, rms = _fast_accumulate(info_sorted, n, fk64, cap_mapq)
+        esum, fsum, c, rms = _fast_accumulate(info, n, theta, eta, cap_mapq)
         coef = jnp.asarray(coef64, dtype=F32)
         lhet = jnp.asarray(lhet64, dtype=F32)
 

@@ -53,7 +53,10 @@ def _proper_subset(a, b):
     return (b != a) & ((a & b) == a)
 
 
-@partial(jax.jit, static_argnames=("precision", "use_joint", "cap_mapq"))
+@partial(
+    jax.jit,
+    static_argnames=("precision", "use_joint", "cap_mapq", "theta", "eta"),
+)
 def call_batch(
     tumor: ColumnBatch,
     normal: ColumnBatch,
@@ -74,6 +77,8 @@ def call_batch(
     include_loh: bool = True,
     include_gor: bool = True,
     cap_mapq: int = 60,
+    theta: float = 0.85,
+    eta: float = 0.03,
 ) -> CallResult:
     """Batched glf_somatic (reference somatic_sniper.c:109-273).
 
@@ -83,10 +88,10 @@ def call_batch(
     reference character is exactly 'N' (reference line 127 checks the char,
     not the code).
     """
-    g_t = glfgen_batch(tumor, fk64, coef64, lhet64,
-                       precision=precision, cap_mapq=cap_mapq)
-    g_n = glfgen_batch(normal, fk64, coef64, lhet64,
-                       precision=precision, cap_mapq=cap_mapq)
+    g_t = glfgen_batch(tumor, fk64, coef64, lhet64, precision=precision,
+                       cap_mapq=cap_mapq, theta=theta, eta=eta)
+    g_n = glfgen_batch(normal, fk64, coef64, lhet64, precision=precision,
+                       cap_mapq=cap_mapq, theta=theta, eta=eta)
 
     cns_t = glf2cns_batch(g_t.lk, n_total_tumor, q_r_int)
     cns_n = glf2cns_batch(g_n.lk, n_total_normal, q_r_int)

@@ -205,6 +205,8 @@ def _padded_call(
         include_loh=p.include_loh,
         include_gor=p.include_gor,
         cap_mapq=p.cap_mapq,
+        theta=p.theta,
+        eta=p.eta,
     )
 
 

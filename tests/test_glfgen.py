@@ -17,9 +17,9 @@ CASES = {
 }
 
 
-def _run_batch(cols, params, precision):
+def _run_batch(cols, params, precision, max_depth=None):
     tabs = T.build_tables(T.ModelParams(**params))
-    batch = columns_to_batch(cols)
+    batch = columns_to_batch(cols, max_depth=max_depth)
     cb = ColumnBatch(
         base16=jnp.asarray(batch["base16"]),
         baseq=jnp.asarray(batch["baseq"]),
@@ -41,16 +41,24 @@ def _run_batch(cols, params, precision):
     return g, packed
 
 
+def _depth_chunks(cols):
+    """Two fixed depth buckets -> two compilations total per case."""
+    depths = np.array([len(r) for _, r in cols])
+    for lo, hi, pad in [(0, 64, 64), (64, 10**9, 1280)]:
+        idx = np.nonzero((depths > lo) & (depths <= hi))[0] if lo else \
+            np.nonzero(depths <= hi)[0]
+        if len(idx):
+            yield idx, pad
+
+
 @pytest.mark.parametrize("case", list(CASES))
 def test_glfgen_exact_matches_oracle(data_dir, case):
     cols = read_columns(data_dir / "glf_columns_in.bin")
     oracle = read_glf_oracle(data_dir / f"glf_oracle_{case}.bin")
-    # bucket by depth to keep padding reasonable
-    order = np.argsort([len(r) for _, r in cols], kind="stable")
-    for chunk in np.array_split(order, 8):
+    for chunk, pad in _depth_chunks(cols):
         sub = [cols[i] for i in chunk]
         osub = oracle[chunk]
-        g, cns = _run_batch(sub, CASES[case], "exact")
+        g, cns = _run_batch(sub, CASES[case], "exact", pad)
         np.testing.assert_array_equal(np.asarray(g.lk), osub["lk"])
         np.testing.assert_array_equal(np.asarray(g.min_lk), osub["min_lk"])
         np.testing.assert_array_equal(np.asarray(g.depth), osub["depth"])
@@ -62,13 +70,12 @@ def test_glfgen_fast_close_to_oracle(data_dir):
     """The f32 fast path must agree with the oracle on ~all columns."""
     cols = read_columns(data_dir / "glf_columns_in.bin")
     oracle = read_glf_oracle(data_dir / "glf_oracle_default.bin")
-    order = np.argsort([len(r) for _, r in cols], kind="stable")
     n_mismatch = 0
     total = 0
-    for chunk in np.array_split(order, 8):
+    for chunk, pad in _depth_chunks(cols):
         sub = [cols[i] for i in chunk]
         osub = oracle[chunk]
-        g, cns = _run_batch(sub, CASES["default"], "fast")
+        g, cns = _run_batch(sub, CASES["default"], "fast", pad)
         lk_diff = np.abs(
             np.asarray(g.lk).astype(int) - osub["lk"].astype(int)
         ).max(axis=1)

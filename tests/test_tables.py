@@ -38,3 +38,20 @@ def test_priors_and_qadd():
 def test_q_r_int_default():
     t = T.build_tables()
     assert t.q_r_int == 27
+
+
+def test_arithmetic_qadd_matches_table():
+    """The closed-form qAdd must equal x + table[512+y-x] (with the same
+    index clip) for every index the table covers."""
+    import jax.numpy as jnp
+
+    from somatic_sniper_tpu.models.consensus import make_qadd
+
+    table = T.compute_qadd_table()
+    qadd = make_qadd()
+    x = np.zeros(1024, dtype=np.int32) + 300
+    y = x + np.arange(1024) - 512  # delta spans the full table
+    got = np.asarray(qadd(jnp.asarray(x), jnp.asarray(y)))
+    idx = np.clip(512 + y - x, 0, 1023)
+    want = x + table[idx]
+    np.testing.assert_array_equal(got, want)
