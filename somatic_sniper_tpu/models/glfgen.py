@@ -35,7 +35,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import NT16_NT4_TABLE
 
 F32 = jnp.float32
 F64 = jnp.float64
@@ -52,13 +51,36 @@ class GlfResult(NamedTuple):
 
 
 class ColumnBatch(NamedTuple):
-    base16: jax.Array
-    baseq: jax.Array
-    mapq: jax.Array
-    strand: jax.Array
-    is_del: jax.Array
-    valid: jax.Array
-    ref16: jax.Array
+    """Dense pileup-column batch in packed-slot form.
+
+    ``slots``: [B, D] uint32, one entry per (column, read):
+    ``mapQ | baseQ<<8 | base16<<16 | strand<<20 | is_del<<21``, with the
+    first ``depth[b]`` slots of row b occupied (host packs contiguously).
+    This single-word layout is what the host pileup emits and what crosses
+    PCIe/ICI — 1/6th the bytes of a struct-of-arrays batch.
+    """
+
+    slots: jax.Array   # [B, D] uint32
+    depth: jax.Array   # [B] int32 occupied slot count (incl. deletions)
+    ref16: jax.Array   # [B] int32
+
+
+SLOT_MAPQ_SHIFT = 0
+SLOT_BASEQ_SHIFT = 8
+SLOT_BASE16_SHIFT = 16
+SLOT_STRAND_SHIFT = 20
+SLOT_ISDEL_SHIFT = 21
+
+
+def pack_slots_np(base16, baseq, mapq, strand, is_del):
+    """Host-side slot packing (numpy)."""
+    return (
+        np.asarray(mapq, np.uint32)
+        | (np.asarray(baseq, np.uint32) << SLOT_BASEQ_SHIFT)
+        | (np.asarray(base16, np.uint32) << SLOT_BASE16_SHIFT)
+        | (np.asarray(strand, np.uint32) << SLOT_STRAND_SHIFT)
+        | (np.asarray(is_del, np.uint32) << SLOT_ISDEL_SHIFT)
+    )
 
 
 def pack_info(cols: ColumnBatch) -> tuple[jax.Array, jax.Array]:
@@ -73,15 +95,26 @@ def pack_info(cols: ColumnBatch) -> tuple[jax.Array, jax.Array]:
     0xFFFFFFFF — unreachable for real reads since bits 19-20/22-23 of the
     packing are never set — and n [B] count of participating reads).
     """
-    nt4 = jnp.asarray(NT16_NT4_TABLE, dtype=I32)
-    keep = cols.valid & ~cols.is_del
+    s = cols.slots
+    B, D = s.shape
+    j_idx = jax.lax.broadcasted_iota(I32, (B, D), 1)
+    occupied = j_idx < cols.depth[:, None]
+    is_del = ((s >> SLOT_ISDEL_SHIFT) & 1).astype(jnp.bool_)
+    keep = occupied & ~is_del
 
-    q = cols.baseq
-    x = (cols.strand.astype(I32) << 18) | (q << 8) | cols.mapq
-    eff = jnp.minimum(q, cols.mapq)
+    mapq = (s & 0xFF).astype(I32)
+    q = ((s >> SLOT_BASEQ_SHIFT) & 0xFF).astype(I32)
+    strand = ((s >> SLOT_STRAND_SHIFT) & 1).astype(I32)
+    qq = ((s >> SLOT_BASE16_SHIFT) & 0xF).astype(I32)
+
+    x = (strand << 18) | (q << 8) | mapq
+    eff = jnp.minimum(q, mapq)
     x = x | (eff << 24)
-    qq = cols.base16
-    base2 = nt4[jnp.where(qq != 0, qq, cols.ref16[:, None])]
+    # nt16 -> nt4 via selects (no gather): A=1->0, C=2->1, G=4->2, T=8->3
+    code = jnp.where(qq != 0, qq, cols.ref16[:, None])
+    base2 = jnp.full_like(code, 4)
+    for c16, c4 in ((1, 0), (2, 1), (4, 2), (8, 3)):
+        base2 = jnp.where(code == c16, c4, base2)
     has_base = base2 < 4
     x = jnp.where(has_base, x | (1 << 21) | (base2 << 16), x)
 

@@ -60,9 +60,6 @@ def _proper_subset(a, b):
 def call_batch(
     tumor: ColumnBatch,
     normal: ColumnBatch,
-    n_total_tumor,
-    n_total_normal,
-    ref16,
     ref_is_upper_n,
     fk64,
     coef64,
@@ -82,19 +79,19 @@ def call_batch(
 ) -> CallResult:
     """Batched glf_somatic (reference somatic_sniper.c:109-273).
 
-    ``n_total_*`` are the raw column depths including deleted bases (the
-    ``n1``/``n2`` arguments of the reference callback); ``ref16`` the 4-bit
-    reference code per column; ``ref_is_upper_n`` flags columns whose raw
-    reference character is exactly 'N' (reference line 127 checks the char,
-    not the code).
+    ``tumor.depth``/``normal.depth`` are the raw column depths including
+    deleted bases (the ``n1``/``n2`` arguments of the reference callback);
+    ``ref_is_upper_n`` flags columns whose raw reference character is
+    exactly 'N' (reference line 127 checks the char, not the code).
     """
     g_t = glfgen_batch(tumor, fk64, coef64, lhet64, precision=precision,
                        cap_mapq=cap_mapq, theta=theta, eta=eta)
     g_n = glfgen_batch(normal, fk64, coef64, lhet64, precision=precision,
                        cap_mapq=cap_mapq, theta=theta, eta=eta)
 
-    cns_t = glf2cns_batch(g_t.lk, n_total_tumor, q_r_int)
-    cns_n = glf2cns_batch(g_n.lk, n_total_normal, q_r_int)
+    cns_t = glf2cns_batch(g_t.lk, tumor.depth, q_r_int)
+    cns_n = glf2cns_batch(g_n.lk, normal.depth, q_r_int)
+    ref16 = tumor.ref16
 
     t_b1, t_b2, t_s1, t_s2 = cns_t
     n_b1, n_b2, n_s1, n_s2 = cns_n

@@ -41,16 +41,12 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 
 
 def shard_column_batch(cb: ColumnBatch, mesh: Mesh) -> ColumnBatch:
-    """Place every array of a ColumnBatch with its batch axis sharded."""
+    """Place a ColumnBatch with its batch axis sharded over the mesh."""
     s2 = NamedSharding(mesh, P("data", None))
     s1 = NamedSharding(mesh, P("data"))
     return ColumnBatch(
-        base16=jax.device_put(cb.base16, s2),
-        baseq=jax.device_put(cb.baseq, s2),
-        mapq=jax.device_put(cb.mapq, s2),
-        strand=jax.device_put(cb.strand, s2),
-        is_del=jax.device_put(cb.is_del, s2),
-        valid=jax.device_put(cb.valid, s2),
+        slots=jax.device_put(cb.slots, s2),
+        depth=jax.device_put(cb.depth, s1),
         ref16=jax.device_put(cb.ref16, s1),
     )
 
@@ -59,9 +55,6 @@ def sharded_call_batch(
     mesh: Mesh,
     tumor: ColumnBatch,
     normal: ColumnBatch,
-    n_total_tumor,
-    n_total_normal,
-    ref16,
     ref_is_upper_n,
     tables_args: tuple,
     precision: str = "fast",
@@ -78,14 +71,11 @@ def sharded_call_batch(
     repl = NamedSharding(mesh, P())
     tumor = shard_column_batch(tumor, mesh)
     normal = shard_column_batch(normal, mesh)
-    n_total_tumor = jax.device_put(jnp.asarray(n_total_tumor), s1)
-    n_total_normal = jax.device_put(jnp.asarray(n_total_normal), s1)
-    ref16 = jax.device_put(jnp.asarray(ref16), s1)
     ref_is_upper_n = jax.device_put(jnp.asarray(ref_is_upper_n), s1)
     fk, coef, lhet, solo, joint, qadd, q_r_int = tables_args
     put = lambda x: jax.device_put(jnp.asarray(x), repl)
     return call_batch(
-        tumor, normal, n_total_tumor, n_total_normal, ref16, ref_is_upper_n,
+        tumor, normal, ref_is_upper_n,
         put(fk), put(coef), put(lhet), put(solo), put(joint), put(qadd),
         q_r_int, precision=precision, use_joint=use_joint, **kwargs,
     )

@@ -42,20 +42,32 @@ from ..io.bam import BamReads
 
 
 class ColumnarPileup(NamedTuple):
-    """Per-sample column entries, sorted by (tid, pos) key."""
+    """Per-sample column entries, sorted by (tid, pos) key.
+
+    ``slots`` is the packed u32 per-entry encoding shared with the device
+    kernel: ``mapQ | baseQ<<8 | base16<<16 | strand<<20 | is_del<<21``.
+    """
 
     keys: np.ndarray       # int64 (tid << 40 | pos) per entry, sorted
-    base16: np.ndarray     # uint8
-    baseq: np.ndarray      # uint8
-    mapq: np.ndarray       # uint8
-    strand: np.ndarray     # uint8
-    is_del: np.ndarray     # bool
+    slots: np.ndarray      # uint32 packed entries
     ukeys: np.ndarray      # int64 unique column keys
     offsets: np.ndarray    # int64 [n_cols + 1] entry offsets per column
 
     @property
     def depths(self) -> np.ndarray:
         return np.diff(self.offsets)
+
+
+def unpack_slots(slots: np.ndarray):
+    """slots -> (base16, baseq, mapq, strand, is_del) numpy arrays."""
+    s = np.asarray(slots, np.uint32)
+    return (
+        (s >> 16) & 0xF,
+        (s >> 8) & 0xFF,
+        s & 0xFF,
+        (s >> 20) & 1,
+        ((s >> 21) & 1).astype(bool),
+    )
 
 
 def make_key(tid, pos):
@@ -201,14 +213,17 @@ def columnize(
     e_col = np.repeat(x0, ln) + within
     e_qpos = np.repeat(y0, ln) + np.where(e_del, 0, within)
 
-    # field gathers
+    # field gathers + slot packing
     so = reads.seq_off[e_read]
     max_q = np.maximum(reads.l_qseq[e_read].astype(np.int64) - 1, 0)
     qp = np.minimum(e_qpos, max_q)  # clamp (del entries never read fields)
-    base16 = reads.seq[so + qp]
-    baseq = reads.qual[so + qp]
-    mapq = reads.mapq[e_read]
-    strand = ((reads.flag[e_read] & BAM_FREVERSE) != 0).astype(np.uint8)
+    slots = (
+        reads.mapq[e_read].astype(np.uint32)
+        | (reads.qual[so + qp].astype(np.uint32) << 8)
+        | (reads.seq[so + qp].astype(np.uint32) << 16)
+        | (((reads.flag[e_read] & BAM_FREVERSE) != 0).astype(np.uint32) << 20)
+        | (e_del.astype(np.uint32) << 21)
+    )
 
     keys = make_key(reads.tid[e_read], e_col)
     order = np.argsort(keys, kind="stable")
@@ -218,11 +233,7 @@ def columnize(
 
     return ColumnarPileup(
         keys=keys,
-        base16=base16[order].astype(np.uint8),
-        baseq=baseq[order].astype(np.uint8),
-        mapq=mapq[order].astype(np.uint8),
-        strand=strand[order],
-        is_del=e_del[order],
+        slots=slots[order],
         ukeys=ukeys,
         offsets=offsets,
     )
@@ -243,34 +254,23 @@ class PairedBatch(NamedTuple):
 
     keys: np.ndarray         # [B] int64 column keys
     ref16: np.ndarray        # [B] int32 (filled by caller)
-    tumor: dict              # field name -> [B, D] arrays
-    normal: dict
+    tumor: np.ndarray        # [B, D] packed u32 slots
+    normal: np.ndarray       # [B, D] packed u32 slots
     n_tumor: np.ndarray      # [B] total entry counts (incl. is_del)
     n_normal: np.ndarray
 
 
-def _pad_columns(pu: ColumnarPileup, col_idx: np.ndarray, D: int) -> dict:
+def _pad_columns(pu: ColumnarPileup, col_idx: np.ndarray, D: int) -> np.ndarray:
+    """Scatter the selected columns' packed u32 slots into a [B, D] array."""
     counts = pu.depths[col_idx]
     starts = pu.offsets[col_idx]
     B = len(col_idx)
     rows = np.repeat(np.arange(B, dtype=np.int64), counts)
     cols = _ragged_arange(counts)
     src = np.repeat(starts, counts) + cols
-    out = {
-        "base16": np.zeros((B, D), np.int32),
-        "baseq": np.zeros((B, D), np.int32),
-        "mapq": np.zeros((B, D), np.int32),
-        "strand": np.zeros((B, D), np.int32),
-        "is_del": np.zeros((B, D), bool),
-        "valid": np.zeros((B, D), bool),
-    }
-    out["base16"][rows, cols] = pu.base16[src]
-    out["baseq"][rows, cols] = pu.baseq[src]
-    out["mapq"][rows, cols] = pu.mapq[src]
-    out["strand"][rows, cols] = pu.strand[src]
-    out["is_del"][rows, cols] = pu.is_del[src]
-    out["valid"][rows, cols] = True
-    return out
+    slots = np.zeros((B, D), np.uint32)
+    slots[rows, cols] = pu.slots[src]
+    return slots
 
 
 def paired_batches(

@@ -13,6 +13,7 @@ import sys
 from dataclasses import dataclass
 from typing import Iterator
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -30,6 +31,7 @@ from .pileup.columnize import (
     columnize,
     paired_batches,
     split_key,
+    unpack_slots,
 )
 
 
@@ -70,16 +72,23 @@ def _ref_arrays(batch: PairedBatch, refcache: RefCache):
     return chars, ref16
 
 
-def _to_column_batch(fields: dict, ref16: np.ndarray) -> ColumnBatch:
-    return ColumnBatch(
-        base16=jnp.asarray(fields["base16"]),
-        baseq=jnp.asarray(fields["baseq"]),
-        mapq=jnp.asarray(fields["mapq"]),
-        strand=jnp.asarray(fields["strand"]),
-        is_del=jnp.asarray(fields["is_del"]),
-        valid=jnp.asarray(fields["valid"]),
-        ref16=jnp.asarray(ref16),
-    )
+class DeviceTables:
+    """Model tables resident on device, converted once per precision.
+
+    Re-sending the 32 MiB coef table with every batch dominates runtime
+    (host->device transfer); device_put once and reuse.
+    """
+
+    def __init__(self, tabs: ModelTables, precision: str):
+        f = jnp.float64 if precision == "exact" else jnp.float32
+        self.fk = jax.device_put(jnp.asarray(tabs.fk, f))
+        self.coef = jax.device_put(jnp.asarray(tabs.coef, f))
+        self.lhet = jax.device_put(jnp.asarray(tabs.lhet, f))
+        self.solo_prior = jax.device_put(jnp.asarray(tabs.solo_prior))
+        self.joint_prior = jax.device_put(jnp.asarray(tabs.joint_prior))
+        self.qadd = jax.device_put(jnp.asarray(tabs.qadd))
+        self.q_r_int = tabs.q_r_int
+        self.params = tabs.params
 
 
 def _column_slice(pu: ColumnarPileup, key: int):
@@ -89,10 +98,8 @@ def _column_slice(pu: ColumnarPileup, key: int):
 
 
 def _sample_data(pu, sl, rb4, wanted, gt, jgt, jcq, cnsq, vaq, score, status):
-    dq = get_dqstats(
-        pu.base16[sl], pu.baseq[sl], pu.mapq[sl], pu.strand[sl],
-        pu.is_del[sl], rb4, wanted,
-    )
+    base16, baseq, mapq, strand, is_del = unpack_slots(pu.slots[sl])
+    dq = get_dqstats(base16, baseq, mapq, strand, is_del, rb4, wanted)
     return SampleData(
         genotype=gt,
         joint_genotype=jgt,
@@ -123,10 +130,11 @@ def call_pair(
     pu_t = columnize(reads_t, params.flag_mask, params.mapq_threshold)
     pu_n = columnize(reads_n, params.flag_mask, params.mapq_threshold)
 
+    dtabs = DeviceTables(tabs, precision)
     records: list[tuple[int, SniperRecord]] = []
     for batch in paired_batches(pu_t, pu_n, max_batch=max_batch):
         chars, ref16 = _ref_arrays(batch, refcache)
-        res = run_call_batch(batch, ref16, chars, tabs, precision)
+        res = run_call_batch(batch, ref16, chars, dtabs, precision)
         records.extend(
             emit_records(batch, res, chars, ref16, pu_t, pu_n,
                          refcache.header)
@@ -155,50 +163,34 @@ def run_call_batch(
     batch: PairedBatch,
     ref16: np.ndarray,
     chars: np.ndarray,
-    tabs: ModelTables,
+    dtabs: DeviceTables,
     precision: str,
 ) -> CallResult:
     # pad the batch axis to a power-of-two bucket so XLA compiles once per
     # (B, D) bucket instead of once per distinct column count
     b0 = len(batch.keys)
     B = _b_bucket(b0)
-    batch = PairedBatch(
-        keys=batch.keys,
-        ref16=batch.ref16,
-        tumor={k: _pad_b(v, B) for k, v in batch.tumor.items()},
-        normal={k: _pad_b(v, B) for k, v in batch.normal.items()},
-        n_tumor=_pad_b(batch.n_tumor, B),
-        n_normal=_pad_b(batch.n_normal, B),
-    )
-    ref16 = _pad_b(ref16, B)
-    chars = _pad_b(chars, B)
-    p = tabs.params
-    res = _padded_call(batch, ref16, chars, tabs, precision)
-    return CallResult(*(np.asarray(v)[:b0] for v in res))
-
-
-def _padded_call(
-    batch: PairedBatch,
-    ref16: np.ndarray,
-    chars: np.ndarray,
-    tabs: ModelTables,
-    precision: str,
-) -> CallResult:
-    p = tabs.params
-    return call_batch(
-        _to_column_batch(batch.tumor, ref16),
-        _to_column_batch(batch.normal, ref16),
-        jnp.asarray(batch.n_tumor),
-        jnp.asarray(batch.n_normal),
-        jnp.asarray(ref16),
-        jnp.asarray(chars == ord("N")),
-        tabs.fk,
-        tabs.coef,
-        tabs.lhet,
-        tabs.solo_prior,
-        tabs.joint_prior,
-        tabs.qadd,
-        tabs.q_r_int,
+    ref16_p = _pad_b(ref16, B)
+    p = dtabs.params
+    res = call_batch(
+        ColumnBatch(
+            slots=jnp.asarray(_pad_b(batch.tumor, B)),
+            depth=jnp.asarray(_pad_b(batch.n_tumor, B)),
+            ref16=jnp.asarray(ref16_p),
+        ),
+        ColumnBatch(
+            slots=jnp.asarray(_pad_b(batch.normal, B)),
+            depth=jnp.asarray(_pad_b(batch.n_normal, B)),
+            ref16=jnp.asarray(ref16_p),
+        ),
+        jnp.asarray(_pad_b(chars, B) == ord("N")),
+        dtabs.fk,
+        dtabs.coef,
+        dtabs.lhet,
+        dtabs.solo_prior,
+        dtabs.joint_prior,
+        dtabs.qadd,
+        dtabs.q_r_int,
         precision=precision,
         use_joint=p.use_joint_priors,
         min_somatic_qual=p.min_somatic_qual,
@@ -208,6 +200,7 @@ def _padded_call(
         theta=p.theta,
         eta=p.eta,
     )
+    return CallResult(*(np.asarray(v)[:b0] for v in res))
 
 
 def emit_records(

@@ -35,27 +35,22 @@ def read_glf_oracle(path: Path):
 
 
 def columns_to_batch(cols, max_depth=None):
-    """Pad a list of (ref16, reads) to dense [B, D] arrays."""
+    """Pad a list of (ref16, reads) to a packed-slot [B, D] batch."""
+    from somatic_sniper_tpu.models.glfgen import pack_slots_np
+
     depths = [len(r) for _, r in cols]
     D = max_depth or max(max(depths), 1)
     B = len(cols)
-    out = {
-        "base16": np.zeros((B, D), np.int32),
-        "baseq": np.zeros((B, D), np.int32),
-        "mapq": np.zeros((B, D), np.int32),
-        "strand": np.zeros((B, D), np.int32),
-        "is_del": np.zeros((B, D), bool),
-        "valid": np.zeros((B, D), bool),
-        "ref16": np.array([r for r, _ in cols], np.int32),
-        "n_total": np.array(depths, np.int32),
-    }
+    slots = np.zeros((B, D), np.uint32)
     for i, (_, reads) in enumerate(cols):
         n = len(reads)
         if n:
-            out["base16"][i, :n] = reads[:, 0]
-            out["baseq"][i, :n] = reads[:, 1]
-            out["mapq"][i, :n] = reads[:, 2]
-            out["strand"][i, :n] = reads[:, 3]
-            out["is_del"][i, :n] = reads[:, 4].astype(bool)
-            out["valid"][i, :n] = True
-    return out
+            slots[i, :n] = pack_slots_np(
+                reads[:, 0], reads[:, 1], reads[:, 2], reads[:, 3],
+                reads[:, 4].astype(bool),
+            )
+    return {
+        "slots": slots,
+        "ref16": np.array([r for r, _ in cols], np.int32),
+        "n_total": np.array(depths, np.int32),
+    }

@@ -21,12 +21,8 @@ def _run_batch(cols, params, precision, max_depth=None):
     tabs = T.build_tables(T.ModelParams(**params))
     batch = columns_to_batch(cols, max_depth=max_depth)
     cb = ColumnBatch(
-        base16=jnp.asarray(batch["base16"]),
-        baseq=jnp.asarray(batch["baseq"]),
-        mapq=jnp.asarray(batch["mapq"]),
-        strand=jnp.asarray(batch["strand"]),
-        is_del=jnp.asarray(batch["is_del"]),
-        valid=jnp.asarray(batch["valid"]),
+        slots=jnp.asarray(batch["slots"]),
+        depth=jnp.asarray(batch["n_total"]),
         ref16=jnp.asarray(batch["ref16"]),
     )
     g = glfgen_batch(cb, tabs.fk, tabs.coef, tabs.lhet, precision=precision)
