@@ -7,6 +7,7 @@ Same flag surface as the reference plus TPU-era additions
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from .. import __version__
@@ -85,6 +86,13 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     import jax
 
+    try:  # persistent compile cache: cold starts reuse prior kernels
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+        )
+    except Exception:
+        pass
     if args.precision == "exact":
         # the exact path replicates the reference's double-precision
         # arithmetic and requires x64-enabled JAX

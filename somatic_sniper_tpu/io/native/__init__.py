@@ -1,0 +1,115 @@
+"""ctypes loader for the native IO/pileup library.
+
+Builds ``libsniper_native.so`` from sniper_native.cpp on first use (g++
+-O3, links zlib).  Falls back gracefully: callers check ``available()``
+and use the pure-Python path when the toolchain is missing.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).resolve().parent
+_SRC = _DIR / "sniper_native.cpp"
+_LIB = _DIR / "libsniper_native.so"
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+class NativeBamStruct(ctypes.Structure):
+    _fields_ = [
+        ("n_reads", ctypes.c_int64),
+        ("n_cigar_total", ctypes.c_int64),
+        ("n_seq_total", ctypes.c_int64),
+        ("tid", ctypes.POINTER(ctypes.c_int32)),
+        ("pos", ctypes.POINTER(ctypes.c_int32)),
+        ("flag", ctypes.POINTER(ctypes.c_uint16)),
+        ("mapq", ctypes.POINTER(ctypes.c_uint8)),
+        ("n_cigar", ctypes.POINTER(ctypes.c_uint16)),
+        ("l_qseq", ctypes.POINTER(ctypes.c_int32)),
+        ("cigar", ctypes.POINTER(ctypes.c_uint32)),
+        ("cigar_off", ctypes.POINTER(ctypes.c_int64)),
+        ("seq", ctypes.POINTER(ctypes.c_uint8)),
+        ("qual", ctypes.POINTER(ctypes.c_uint8)),
+        ("seq_off", ctypes.POINTER(ctypes.c_int64)),
+        ("text", ctypes.c_char_p),
+        ("n_ref", ctypes.c_int32),
+        ("ref_len", ctypes.POINTER(ctypes.c_int32)),
+        ("ref_names", ctypes.POINTER(ctypes.c_char)),
+        ("ref_names_len", ctypes.c_int64),
+        ("_storage", ctypes.c_void_p),
+    ]
+
+
+class NativePileupStruct(ctypes.Structure):
+    _fields_ = [
+        ("n_entries", ctypes.c_int64),
+        ("n_cols", ctypes.c_int64),
+        ("keys", ctypes.POINTER(ctypes.c_int64)),
+        ("slots", ctypes.POINTER(ctypes.c_uint32)),
+        ("ukeys", ctypes.POINTER(ctypes.c_int64)),
+        ("offsets", ctypes.POINTER(ctypes.c_int64)),
+        ("_storage", ctypes.c_void_p),
+    ]
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+             "-pthread", "-o", str(_LIB), str(_SRC), "-lz"],
+            check=True, capture_output=True, timeout=300,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError,
+            subprocess.TimeoutExpired):
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(str(_LIB))
+        except OSError:
+            return None
+        lib.bam_load.restype = ctypes.POINTER(NativeBamStruct)
+        lib.bam_load.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.bam_destroy.argtypes = [ctypes.POINTER(NativeBamStruct)]
+        lib.pileup_build.restype = ctypes.POINTER(NativePileupStruct)
+        lib.pileup_build.argtypes = [
+            ctypes.POINTER(NativeBamStruct), ctypes.c_int, ctypes.c_int,
+        ]
+        lib.pileup_destroy.argtypes = [ctypes.POINTER(NativePileupStruct)]
+        lib.pileup_pad.argtypes = [
+            ctypes.POINTER(NativePileupStruct),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
+        lib.sniper_last_error.restype = ctypes.c_char_p
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _as_np(ptr, n, dtype):
+    if n == 0:
+        return np.zeros(0, dtype=dtype)
+    return np.ctypeslib.as_array(ptr, shape=(n,)).view(dtype)

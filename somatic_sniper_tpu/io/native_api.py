@@ -1,0 +1,103 @@
+"""High-level wrappers over the native IO/pileup library."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+from ..constants import BAM_DEF_MASK
+from ..pileup.columnize import ColumnarPileup
+from .bam import BamHeader
+from . import native
+
+
+def available() -> bool:
+    return native.available()
+
+
+def _default_threads() -> int:
+    return max(2, os.cpu_count() or 2)
+
+
+def load_and_columnize(
+    path: str,
+    flag_mask: int = BAM_DEF_MASK,
+    mapq_thresh: int = 0,
+    n_threads: int | None = None,
+) -> tuple[BamHeader, ColumnarPileup]:
+    """Native BGZF+BAM decode and pileup columnarization in one call."""
+    lib = native.get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    nb = lib.bam_load(path.encode(), n_threads or _default_threads())
+    if not nb:
+        raise IOError(
+            f"{path}: {lib.sniper_last_error().decode()}"
+        )
+    try:
+        c = nb.contents
+        names_blob = ctypes.string_at(c.ref_names, c.ref_names_len)
+        ref_names = [
+            n.decode() for n in names_blob.split(b"\x00") if n
+        ]
+        ref_lengths = list(
+            np.ctypeslib.as_array(c.ref_len, shape=(c.n_ref,))
+        ) if c.n_ref else []
+        header = BamHeader(
+            text=(c.text or b"").decode(),
+            ref_names=ref_names,
+            ref_lengths=[int(x) for x in ref_lengths],
+        )
+        np_ = lib.pileup_build(nb, flag_mask, mapq_thresh)
+        if not np_:
+            raise IOError(f"{path}: pileup build failed")
+        owner = _PileupHandle(lib, np_)
+        pc = np_.contents
+        ne, nc = pc.n_entries, pc.n_cols
+        if nc == 0:
+            slots = np.zeros(0, np.uint32)
+            ukeys = np.zeros(0, np.int64)
+            offsets = np.zeros(1, np.int64)
+        else:
+            # zero-copy views; ``owner`` keeps the native storage alive
+            slots = np.ctypeslib.as_array(pc.slots, shape=(ne,))
+            ukeys = np.ctypeslib.as_array(pc.ukeys, shape=(nc,))
+            offsets = np.ctypeslib.as_array(pc.offsets, shape=(nc + 1,))
+        pileup = ColumnarPileup(
+            keys=None,
+            slots=slots,
+            ukeys=ukeys,
+            offsets=offsets,
+            owner=owner,
+        )
+    finally:
+        lib.bam_destroy(nb)
+    return header, pileup
+
+
+class _PileupHandle:
+    """Owns a NativePileup; frees it on GC; provides native dense padding."""
+
+    def __init__(self, lib, ptr):
+        self._lib = lib
+        self._ptr = ptr
+
+    def pad(self, col_idx: np.ndarray, D: int) -> np.ndarray:
+        B = len(col_idx)
+        out = np.empty((B, D), np.uint32)
+        ci = np.ascontiguousarray(col_idx, dtype=np.int64)
+        self._lib.pileup_pad(
+            self._ptr,
+            ci.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            B, D,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        )
+        return out
+
+    def __del__(self):
+        try:
+            self._lib.pileup_destroy(self._ptr)
+        except Exception:
+            pass

@@ -60,7 +60,6 @@ def _proper_subset(a, b):
 def call_batch(
     tumor: ColumnBatch,
     normal: ColumnBatch,
-    ref_is_upper_n,
     fk64,
     coef64,
     lhet64,
@@ -80,9 +79,12 @@ def call_batch(
     """Batched glf_somatic (reference somatic_sniper.c:109-273).
 
     ``tumor.depth``/``normal.depth`` are the raw column depths including
-    deleted bases (the ``n1``/``n2`` arguments of the reference callback);
-    ``ref_is_upper_n`` flags columns whose raw reference character is
-    exactly 'N' (reference line 127 checks the char, not the code).
+    deleted bases (the ``n1``/``n2`` arguments of the reference callback).
+
+    Note the reference's outer ``rb != 'N'`` character gate (line 127) is
+    subsumed by the ``rb4 != 15`` code gate below: every character whose
+    4-bit code is 15 (including 'N'/'n') fails the code gate, and nothing
+    inside the outer block emits without passing it.
     """
     g_t = glfgen_batch(tumor, fk64, coef64, lhet64, precision=precision,
                        cap_mapq=cap_mapq, theta=theta, eta=eta)
@@ -100,8 +102,7 @@ def call_batch(
 
     # outer gate (reference somatic_sniper.c:127) + SNP gate (:156)
     is_snp = (
-        (~ref_is_upper_n)
-        & (g_t.depth > 0)
+        (g_t.depth > 0)
         & (g_n.depth > 0)
         & (rb4 != 15)
         & (t_b1 != 15)

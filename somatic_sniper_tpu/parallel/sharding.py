@@ -55,7 +55,6 @@ def sharded_call_batch(
     mesh: Mesh,
     tumor: ColumnBatch,
     normal: ColumnBatch,
-    ref_is_upper_n,
     tables_args: tuple,
     precision: str = "fast",
     use_joint: bool = False,
@@ -71,11 +70,10 @@ def sharded_call_batch(
     repl = NamedSharding(mesh, P())
     tumor = shard_column_batch(tumor, mesh)
     normal = shard_column_batch(normal, mesh)
-    ref_is_upper_n = jax.device_put(jnp.asarray(ref_is_upper_n), s1)
     fk, coef, lhet, solo, joint, qadd, q_r_int = tables_args
     put = lambda x: jax.device_put(jnp.asarray(x), repl)
     return call_batch(
-        tumor, normal, ref_is_upper_n,
+        tumor, normal,
         put(fk), put(coef), put(lhet), put(solo), put(joint), put(qadd),
         q_r_int, precision=precision, use_joint=use_joint, **kwargs,
     )

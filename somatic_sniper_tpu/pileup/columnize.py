@@ -48,10 +48,11 @@ class ColumnarPileup(NamedTuple):
     kernel: ``mapQ | baseQ<<8 | base16<<16 | strand<<20 | is_del<<21``.
     """
 
-    keys: np.ndarray       # int64 (tid << 40 | pos) per entry, sorted
-    slots: np.ndarray      # uint32 packed entries
-    ukeys: np.ndarray      # int64 unique column keys
-    offsets: np.ndarray    # int64 [n_cols + 1] entry offsets per column
+    keys: np.ndarray | None  # int64 (tid << 40 | pos) per entry, sorted
+    slots: np.ndarray        # uint32 packed entries
+    ukeys: np.ndarray        # int64 unique column keys
+    offsets: np.ndarray      # int64 [n_cols + 1] entry offsets per column
+    owner: object = None     # keeps native-backed memory alive
 
     @property
     def depths(self) -> np.ndarray:
@@ -217,10 +218,13 @@ def columnize(
     so = reads.seq_off[e_read]
     max_q = np.maximum(reads.l_qseq[e_read].astype(np.int64) - 1, 0)
     qp = np.minimum(e_qpos, max_q)  # clamp (del entries never read fields)
+    # base/qual are never read for deletion entries; zero them so the
+    # packed form is canonical (matches the native pileup byte-for-byte)
+    not_del = (~e_del).astype(np.uint32)
     slots = (
         reads.mapq[e_read].astype(np.uint32)
-        | (reads.qual[so + qp].astype(np.uint32) << 8)
-        | (reads.seq[so + qp].astype(np.uint32) << 16)
+        | ((reads.qual[so + qp].astype(np.uint32) * not_del) << 8)
+        | ((reads.seq[so + qp].astype(np.uint32) * not_del) << 16)
         | (((reads.flag[e_read] & BAM_FREVERSE) != 0).astype(np.uint32) << 20)
         | (e_del.astype(np.uint32) << 21)
     )
@@ -262,6 +266,8 @@ class PairedBatch(NamedTuple):
 
 def _pad_columns(pu: ColumnarPileup, col_idx: np.ndarray, D: int) -> np.ndarray:
     """Scatter the selected columns' packed u32 slots into a [B, D] array."""
+    if pu.owner is not None and hasattr(pu.owner, "pad"):
+        return pu.owner.pad(col_idx, D)
     counts = pu.depths[col_idx]
     starts = pu.offsets[col_idx]
     B = len(col_idx)
@@ -276,7 +282,7 @@ def _pad_columns(pu: ColumnarPileup, col_idx: np.ndarray, D: int) -> np.ndarray:
 def paired_batches(
     tumor: ColumnarPileup,
     normal: ColumnarPileup,
-    max_batch: int = 16384,
+    max_batch: int = 65536,
 ) -> Iterator[PairedBatch]:
     """Intersect non-empty columns of both samples and yield dense batches
     bucketed by depth (keeps XLA shape variety bounded)."""

@@ -118,23 +118,40 @@ def call_pair(
     ref_fasta: str | None,
     params: ModelParams = ModelParams(),
     precision: str = "exact",
-    max_batch: int = 16384,
+    max_batch: int = 65536,
 ) -> Iterator[SniperRecord]:
     """Run the full caller, yielding emitted records in coordinate order."""
-    header_t, reads_t = read_bam(tumor_bam)
-    header_n, reads_n = read_bam(normal_bam)
+    from .io import native_api
+
+    if native_api.available():
+        header_t, pu_t = native_api.load_and_columnize(
+            tumor_bam, params.flag_mask, params.mapq_threshold
+        )
+        header_n, pu_n = native_api.load_and_columnize(
+            normal_bam, params.flag_mask, params.mapq_threshold
+        )
+    else:
+        header_t, reads_t = read_bam(tumor_bam)
+        header_n, reads_n = read_bam(normal_bam)
+        pu_t = columnize(reads_t, params.flag_mask, params.mapq_threshold)
+        pu_n = columnize(reads_n, params.flag_mask, params.mapq_threshold)
     fasta = FastaFile(ref_fasta) if ref_fasta else None
     refcache = RefCache(fasta, header_t)
     tabs = build_tables(params)
 
-    pu_t = columnize(reads_t, params.flag_mask, params.mapq_threshold)
-    pu_n = columnize(reads_n, params.flag_mask, params.mapq_threshold)
-
     dtabs = DeviceTables(tabs, precision)
-    records: list[tuple[int, SniperRecord]] = []
+    # submit all batches first (async dispatch overlaps device compute and
+    # transfers with host-side padding of later batches), collect after
+    pending = []
     for batch in paired_batches(pu_t, pu_n, max_batch=max_batch):
         chars, ref16 = _ref_arrays(batch, refcache)
-        res = run_call_batch(batch, ref16, chars, dtabs, precision)
+        dev_res, b0 = submit_call_batch(batch, ref16, chars, dtabs, precision)
+        pending.append((batch, chars, ref16, dev_res, b0))
+
+    records: list[tuple[int, SniperRecord]] = []
+    for batch, chars, ref16, dev_res, b0 in pending:
+        host = jax.device_get(dev_res)
+        res = CallResult(*(v[:b0] for v in host))
         records.extend(
             emit_records(batch, res, chars, ref16, pu_t, pu_n,
                          refcache.header)
@@ -159,31 +176,32 @@ def _b_bucket(b: int, minimum: int = 256) -> int:
     return B
 
 
-def run_call_batch(
+def submit_call_batch(
     batch: PairedBatch,
     ref16: np.ndarray,
     chars: np.ndarray,
     dtabs: DeviceTables,
     precision: str,
-) -> CallResult:
+) -> tuple[CallResult, int]:
+    """Dispatch one padded batch to the device (async); returns the
+    on-device CallResult and the unpadded column count."""
     # pad the batch axis to a power-of-two bucket so XLA compiles once per
     # (B, D) bucket instead of once per distinct column count
     b0 = len(batch.keys)
     B = _b_bucket(b0)
-    ref16_p = _pad_b(ref16, B)
     p = dtabs.params
+    # one stacked upload for the two big slot arrays, one for the depths
+    # (per-array transfers pay interconnect latency each)
+    stacked = jnp.asarray(
+        np.stack([_pad_b(batch.tumor, B), _pad_b(batch.normal, B)])
+    )
+    depths = jnp.asarray(
+        np.stack([_pad_b(batch.n_tumor, B), _pad_b(batch.n_normal, B)])
+    )
+    ref16_d = jnp.asarray(_pad_b(ref16, B))
     res = call_batch(
-        ColumnBatch(
-            slots=jnp.asarray(_pad_b(batch.tumor, B)),
-            depth=jnp.asarray(_pad_b(batch.n_tumor, B)),
-            ref16=jnp.asarray(ref16_p),
-        ),
-        ColumnBatch(
-            slots=jnp.asarray(_pad_b(batch.normal, B)),
-            depth=jnp.asarray(_pad_b(batch.n_normal, B)),
-            ref16=jnp.asarray(ref16_p),
-        ),
-        jnp.asarray(_pad_b(chars, B) == ord("N")),
+        ColumnBatch(slots=stacked[0], depth=depths[0], ref16=ref16_d),
+        ColumnBatch(slots=stacked[1], depth=depths[1], ref16=ref16_d),
         dtabs.fk,
         dtabs.coef,
         dtabs.lhet,
@@ -200,7 +218,14 @@ def run_call_batch(
         theta=p.theta,
         eta=p.eta,
     )
-    return CallResult(*(np.asarray(v)[:b0] for v in res))
+    return res, b0
+
+
+def run_call_batch(batch, ref16, chars, dtabs, precision) -> CallResult:
+    """Synchronous convenience wrapper around submit_call_batch."""
+    res, b0 = submit_call_batch(batch, ref16, chars, dtabs, precision)
+    host = jax.device_get(res)  # one transfer for all result fields
+    return CallResult(*(v[:b0] for v in host))
 
 
 def emit_records(
