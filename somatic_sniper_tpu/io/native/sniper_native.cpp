@@ -496,6 +496,68 @@ void pileup_destroy(NativePileup* np) {
     delete np;
 }
 
+// Per-column pure-reference prefilter statistics.
+//
+// A column is marked filterable (out[c] = 1) when it provably cannot be
+// emitted by the caller: every non-deleted entry carries the reference
+// base (or '=', code 0), the reference code is unambiguous ACGT, at least
+// one entry contributes to the genotype counts, and a rearrangement-
+// inequality lower bound L on the reference-class esum clears the margin
+//
+//     L + gmin[min(m, 255)] >= margin
+//
+// where gmin[m] = min_q coef[q, m, m] (the only coef entries a pure
+// column's non-reference genotypes can touch) is precomputed by the
+// caller.  Under that bound every non-reference genotype's quantized
+// likelihood is >= 1 while hom-ref is exactly 0, so both samples call the
+// hom-ref genotype and the SNP gate (tumor_gt != normal_gt,
+// reference somatic_sniper.c:156) can never pass.  Columns that fail the
+// bound (junk-quality pileups) simply stay unfiltered — correctness never
+// depends on this filter, only throughput does.
+//
+// L accumulates fk[r] * effq in entry-arrival order with a single rank
+// counter shared across strands; the true esum uses per-(base,strand)
+// rank counters and descending-quality order (reference
+// sniper_maqcns.c:162-175), both of which only raise the fk weights, so
+// L is a valid lower bound.
+void pileup_flags(const NativePileup* np, const uint8_t* ref16,
+                  const int64_t* ref_off, int32_t n_ref, const double* fk,
+                  const double* gmin, double margin, uint8_t* out) {
+    const int64_t POS_MASK = ((int64_t)1 << 40) - 1;
+    for (int64_t c = 0; c < np->n_cols; ++c) {
+        out[c] = 0;
+        int64_t key = np->ukeys[c];
+        int32_t tid = (int32_t)(key >> 40);
+        int64_t pos = key & POS_MASK;
+        if (tid < 0 || tid >= n_ref) continue;
+        if (pos >= ref_off[tid + 1] - ref_off[tid]) continue;
+        uint8_t rcode = ref16[ref_off[tid] + pos];
+        if (rcode != 1 && rcode != 2 && rcode != 4 && rcode != 8) continue;
+        bool pure = true;
+        int64_t m = 0;
+        double L = 0.0;
+        for (int64_t i = np->offsets[c]; i < np->offsets[c + 1]; ++i) {
+            uint32_t s = np->slots[i];
+            if ((s >> 21) & 1) continue;  // deletions never reach glfgen
+            uint32_t b16 = (s >> 16) & 0xF;
+            if (b16 != rcode && b16 != 0) {
+                pure = false;
+                break;
+            }
+            uint32_t q = (s >> 8) & 0xFF;
+            uint32_t mq = s & 0xFF;
+            uint32_t eff = q < mq ? q : mq;
+            if (eff < 4 && (q & 0x3F) != 0) eff = 4;
+            if (eff > 0) {
+                L += fk[m < 255 ? m : 255] * (double)eff;
+                ++m;
+            }
+        }
+        if (pure && m >= 1 && L + gmin[m <= 255 ? m : 254] >= margin)
+            out[c] = 1;
+    }
+}
+
 // Dense padding: scatter selected columns' slots into a [B, D] array
 // (row-major, caller-allocated, zero-filled by callee).
 void pileup_pad(const NativePileup* np, const int64_t* col_idx, int64_t B,

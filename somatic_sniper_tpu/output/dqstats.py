@@ -63,3 +63,96 @@ def get_dqstats(base16, baseq, mapq, strand, is_del, ref_base4, wanted_bases):
     if d.total_depth > 0:
         d.total_mean_mapq = int(tot_mapq / float(d.total_depth) + 0.499)
     return d
+
+
+def get_dqstats_batch(pu, col_idx, rb4, wanted) -> list[DqStats]:
+    """Vectorized get_dqstats over many columns of one ColumnarPileup.
+
+    ``col_idx``: [K] column indices into ``pu``; ``rb4``/``wanted``: [K]
+    per-column reference code and wanted-base mask.  Value-identical to
+    calling :func:`get_dqstats` per column (same truncation semantics),
+    but one numpy pass over the concatenated entries instead of K python
+    loops — emitted-site formatting was a visible fraction of end-to-end
+    runtime at WGS scale.
+    """
+    col_idx = np.asarray(col_idx, np.int64)
+    K = len(col_idx)
+    if K == 0:
+        return []
+    starts = pu.offsets[col_idx]
+    counts = (pu.offsets[col_idx + 1] - starts).astype(np.int64)
+    total = int(counts.sum())
+    ends = np.cumsum(counts)
+    src = np.repeat(starts, counts) + (
+        np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
+    )
+    seg = np.repeat(np.arange(K, dtype=np.int64), counts)
+
+    s = pu.slots[src].astype(np.uint32)
+    keep = ((s >> 21) & 1) == 0
+    seg = seg[keep]
+    s = s[keep]
+    b = ((s >> 16) & 0xF).astype(np.int64)
+    bq = ((s >> 8) & 0xFF).astype(np.int64)
+    mq = (s & 0xFF).astype(np.int64)
+    st = ((s >> 20) & 1).astype(np.int64)
+
+    def acc(mask, w=None):
+        if w is None:
+            return np.bincount(seg[mask], minlength=K).astype(np.int64)
+        return np.bincount(seg[mask], weights=w[mask], minlength=K).astype(
+            np.int64
+        )
+
+    depth = np.bincount(seg, minlength=K).astype(np.int64)
+    tot_mapq = np.bincount(seg, weights=mq, minlength=K).astype(np.int64)
+
+    rb_e = np.asarray(rb4, np.int64)[seg]
+    is_ref = b == rb_e
+    dp4 = np.stack(
+        [
+            acc(is_ref & (st == 0)),
+            acc(is_ref & (st == 1)),
+            acc(~is_ref & (st == 0)),
+            acc(~is_ref & (st == 1)),
+        ],
+        axis=1,
+    )
+
+    wanted = np.asarray(wanted, np.int64)
+    occ = np.empty((K, 4), np.int64)
+    mean_bq = np.zeros((K, 4), np.int64)
+    mean_mq = np.zeros((K, 4), np.int64)
+    for j in range(4):
+        v = 1 << j
+        m = (b & v) == b
+        occ[:, j] = acc(m)
+        w = (wanted & v) != 0
+        sb = acc(m, bq) * w
+        sm = acc(m, mq) * w
+        nz = occ[:, j] > 0
+        o = np.maximum(occ[:, j], 1).astype(np.float64)
+        mean_bq[:, j] = np.where(nz, (sb / o + 0.499).astype(np.int64), 0)
+        mean_mq[:, j] = np.where(nz, (sm / o + 0.499).astype(np.int64), 0)
+
+    tot_mean = np.where(
+        depth > 0,
+        (tot_mapq / np.maximum(depth, 1).astype(np.float64) + 0.499).astype(
+            np.int64
+        ),
+        0,
+    )
+
+    out = []
+    for k in range(K):
+        out.append(
+            DqStats(
+                mean_baseq=mean_bq[k].tolist(),
+                mean_mapq=mean_mq[k].tolist(),
+                base_occ=occ[k].tolist(),
+                dp4=dp4[k].tolist(),
+                total_depth=int(depth[k]),
+                total_mean_mapq=int(tot_mean[k]),
+            )
+        )
+    return out

@@ -283,12 +283,22 @@ def paired_batches(
     tumor: ColumnarPileup,
     normal: ColumnarPileup,
     max_batch: int = 65536,
+    drop_tumor: np.ndarray | None = None,
+    drop_normal: np.ndarray | None = None,
 ) -> Iterator[PairedBatch]:
     """Intersect non-empty columns of both samples and yield dense batches
-    bucketed by depth (keeps XLA shape variety bounded)."""
+    bucketed by depth (keeps XLA shape variety bounded).
+
+    ``drop_tumor``/``drop_normal``: optional uint8 flags aligned with each
+    sample's ``ukeys`` (see pileup.prefilter); a shared column is skipped
+    when both samples flag it as provably non-emittable.
+    """
     shared, ti, ni = np.intersect1d(
         tumor.ukeys, normal.ukeys, assume_unique=True, return_indices=True
     )
+    if drop_tumor is not None and drop_normal is not None and len(shared):
+        keep = ~((drop_tumor[ti] != 0) & (drop_normal[ni] != 0))
+        shared, ti, ni = shared[keep], ti[keep], ni[keep]
     if len(shared) == 0:
         return
     d_t = tumor.depths[ti]

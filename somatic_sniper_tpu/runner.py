@@ -21,9 +21,14 @@ from .constants import NT16_TABLE
 from .io.bam import BamHeader, BamReads, read_bam
 from .io.fasta import FastaFile
 from .models.glfgen import ColumnBatch
-from .models.somatic import CallResult, call_batch
+from .models.somatic import (
+    COMPACT_FIELDS,
+    CallResult,
+    call_batch,
+    call_batch_compact,
+)
 from .models.tables import ModelParams, ModelTables, build_tables
-from .output.dqstats import get_dqstats
+from .output.dqstats import get_dqstats, get_dqstats_batch
 from .output.records import SampleData, SniperRecord
 from .pileup.columnize import (
     ColumnarPileup,
@@ -112,6 +117,49 @@ def _sample_data(pu, sl, rb4, wanted, gt, jgt, jcq, cnsq, vaq, score, status):
     )
 
 
+def _load_pileups(tumor_bam, normal_bam, params):
+    """Decode + columnize both BAMs, in parallel threads when the native
+    layer is available (ctypes releases the GIL for the C++ work)."""
+    from .io import native_api
+
+    if native_api.available():
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f_t = ex.submit(native_api.load_and_columnize, tumor_bam,
+                            params.flag_mask, params.mapq_threshold)
+            f_n = ex.submit(native_api.load_and_columnize, normal_bam,
+                            params.flag_mask, params.mapq_threshold)
+            header_t, pu_t = f_t.result()
+            header_n, pu_n = f_n.result()
+    else:
+        header_t, reads_t = read_bam(tumor_bam)
+        header_n, reads_n = read_bam(normal_bam)
+        pu_t = columnize(reads_t, params.flag_mask, params.mapq_threshold)
+        pu_n = columnize(reads_n, params.flag_mask, params.mapq_threshold)
+    return header_t, pu_t, header_n, pu_n
+
+
+def _prefilter_flags(pu_t, pu_n, fasta, header, tabs):
+    """(drop_tumor, drop_normal) pure-ref flags, or (None, None)."""
+    from .pileup.prefilter import build_ref16, prefilter_tables, pure_flags
+
+    pt = prefilter_tables(tabs)
+    if pt is None or fasta is None:
+        return None, None
+    gmin, margin = pt
+    seqs = []
+    for name in header.ref_names:
+        try:
+            seqs.append(fasta.fetch(name) or b"")
+        except Exception:
+            seqs.append(b"")
+    ref16, ref_off = build_ref16(seqs)
+    ft = pure_flags(pu_t, ref16, ref_off, tabs.fk, gmin, margin)
+    fn = pure_flags(pu_n, ref16, ref_off, tabs.fk, gmin, margin)
+    return ft, fn
+
+
 def call_pair(
     tumor_bam: str,
     normal_bam: str,
@@ -119,42 +167,51 @@ def call_pair(
     params: ModelParams = ModelParams(),
     precision: str = "exact",
     max_batch: int = 65536,
+    prefilter: bool = True,
 ) -> Iterator[SniperRecord]:
     """Run the full caller, yielding emitted records in coordinate order."""
-    from .io import native_api
-
-    if native_api.available():
-        header_t, pu_t = native_api.load_and_columnize(
-            tumor_bam, params.flag_mask, params.mapq_threshold
-        )
-        header_n, pu_n = native_api.load_and_columnize(
-            normal_bam, params.flag_mask, params.mapq_threshold
-        )
-    else:
-        header_t, reads_t = read_bam(tumor_bam)
-        header_n, reads_n = read_bam(normal_bam)
-        pu_t = columnize(reads_t, params.flag_mask, params.mapq_threshold)
-        pu_n = columnize(reads_n, params.flag_mask, params.mapq_threshold)
+    header_t, pu_t, header_n, pu_n = _load_pileups(
+        tumor_bam, normal_bam, params
+    )
     fasta = FastaFile(ref_fasta) if ref_fasta else None
     refcache = RefCache(fasta, header_t)
     tabs = build_tables(params)
+    drop_t = drop_n = None
+    if prefilter:
+        drop_t, drop_n = _prefilter_flags(pu_t, pu_n, fasta, header_t, tabs)
 
     dtabs = DeviceTables(tabs, precision)
     # submit all batches first (async dispatch overlaps device compute and
     # transfers with host-side padding of later batches), collect after
     pending = []
-    for batch in paired_batches(pu_t, pu_n, max_batch=max_batch):
+    for batch in paired_batches(pu_t, pu_n, max_batch=max_batch,
+                                drop_tumor=drop_t, drop_normal=drop_n):
         chars, ref16 = _ref_arrays(batch, refcache)
-        dev_res, b0 = submit_call_batch(batch, ref16, chars, dtabs, precision)
+        dev_res, b0 = submit_call_batch(
+            batch, ref16, chars, dtabs, precision, compact=True
+        )
         pending.append((batch, chars, ref16, dev_res, b0))
 
     records: list[tuple[int, SniperRecord]] = []
     for batch, chars, ref16, dev_res, b0 in pending:
-        host = jax.device_get(dev_res)
-        res = CallResult(*(v[:b0] for v in host))
+        count = int(dev_res.count)
+        if count > dev_res.rows.shape[0]:
+            # emitted rows overflow the compact buffer (pathological emit
+            # rate) — refetch the full per-column result
+            full, _ = submit_call_batch(
+                batch, ref16, chars, dtabs, precision, compact=False
+            )
+            host = jax.device_get(full)
+            res = CallResult(*(v[:b0] for v in host))
+            records.extend(
+                emit_records(batch, res, chars, ref16, pu_t, pu_n,
+                             refcache.header)
+            )
+            continue
+        rows = np.asarray(dev_res.rows)[:count]
         records.extend(
-            emit_records(batch, res, chars, ref16, pu_t, pu_n,
-                         refcache.header)
+            emit_records_compact(batch, rows, chars, ref16, pu_t, pu_n,
+                                 refcache.header)
         )
     records.sort(key=lambda kv: kv[0])
     for _, rec in records:
@@ -170,10 +227,16 @@ def _pad_b(arr: np.ndarray, B: int):
 
 
 def _b_bucket(b: int, minimum: int = 256) -> int:
+    """Pad the batch axis to a bounded set of sizes: powers of two up to
+    8192, then multiples of 8192.  Keeps XLA compile variety small while
+    wasting far less transfer bandwidth than pure powers of two (uploads
+    dominate the device path on tunneled/PCIe links)."""
     B = minimum
-    while B < b:
+    while B < b and B < 8192:
         B *= 2
-    return B
+    if B >= b:
+        return B
+    return ((b + 8191) // 8192) * 8192
 
 
 def submit_call_batch(
@@ -182,26 +245,33 @@ def submit_call_batch(
     chars: np.ndarray,
     dtabs: DeviceTables,
     precision: str,
-) -> tuple[CallResult, int]:
+    compact: bool = False,
+):
     """Dispatch one padded batch to the device (async); returns the
-    on-device CallResult and the unpadded column count."""
-    # pad the batch axis to a power-of-two bucket so XLA compiles once per
+    on-device result (CallResult, or CompactResult when ``compact``) and
+    the unpadded column count."""
+    # pad the batch axis to a bounded bucket set so XLA compiles once per
     # (B, D) bucket instead of once per distinct column count
     b0 = len(batch.keys)
     B = _b_bucket(b0)
     p = dtabs.params
-    # one stacked upload for the two big slot arrays, one for the depths
-    # (per-array transfers pay interconnect latency each)
+    # one stacked upload for the two big slot arrays, one for the small
+    # metadata (per-array transfers pay interconnect latency each)
     stacked = jnp.asarray(
         np.stack([_pad_b(batch.tumor, B), _pad_b(batch.normal, B)])
     )
-    depths = jnp.asarray(
-        np.stack([_pad_b(batch.n_tumor, B), _pad_b(batch.n_normal, B)])
-    )
-    ref16_d = jnp.asarray(_pad_b(ref16, B))
-    res = call_batch(
-        ColumnBatch(slots=stacked[0], depth=depths[0], ref16=ref16_d),
-        ColumnBatch(slots=stacked[1], depth=depths[1], ref16=ref16_d),
+    meta = jnp.asarray(np.stack([
+        _pad_b(batch.n_tumor, B),
+        _pad_b(batch.n_normal, B),
+        _pad_b(ref16, B),
+    ]))
+    fn = call_batch_compact if compact else call_batch
+    kwargs = {}
+    if compact:
+        kwargs["max_emit"] = min(B, 16384)
+    res = fn(
+        ColumnBatch(slots=stacked[0], depth=meta[0], ref16=meta[2]),
+        ColumnBatch(slots=stacked[1], depth=meta[1], ref16=meta[2]),
         dtabs.fk,
         dtabs.coef,
         dtabs.lhet,
@@ -217,6 +287,7 @@ def submit_call_batch(
         cap_mapq=p.cap_mapq,
         theta=p.theta,
         eta=p.eta,
+        **kwargs,
     )
     return res, b0
 
@@ -239,37 +310,79 @@ def emit_records(
 ) -> list[tuple[int, SniperRecord]]:
     emit = np.asarray(res.emit)
     idx = np.nonzero(emit)[0]
+    if len(idx) == 0:
+        return []
+    f = {k: np.asarray(v)[idx] for k, v in res._asdict().items()}
+    return _build_records(batch, idx, f, chars, ref16, pu_t, pu_n, header)
+
+
+def emit_records_compact(
+    batch: PairedBatch,
+    rows: np.ndarray,
+    chars: np.ndarray,
+    ref16: np.ndarray,
+    pu_t: ColumnarPileup,
+    pu_n: ColumnarPileup,
+    header: BamHeader,
+) -> list[tuple[int, SniperRecord]]:
+    """emit_records over a device-compacted [count, 1+NF] row matrix."""
+    if len(rows) == 0:
+        return []
+    idx = rows[:, 0].astype(np.int64)
+    f = {name: rows[:, 1 + j] for j, name in enumerate(COMPACT_FIELDS)}
+    return _build_records(batch, idx, f, chars, ref16, pu_t, pu_n, header)
+
+
+def _build_records(
+    batch: PairedBatch,
+    idx: np.ndarray,
+    f: dict,
+    chars: np.ndarray,
+    ref16: np.ndarray,
+    pu_t: ColumnarPileup,
+    pu_n: ColumnarPileup,
+    header: BamHeader,
+) -> list[tuple[int, SniperRecord]]:
+    keys = batch.keys[idx]
+    tids = (keys >> 40).astype(np.int64)
+    poss = (keys & ((1 << 40) - 1)).astype(np.int64)
+    rb4 = ref16[idx].astype(np.int64)
+    wanted = rb4 | f["tumor_eff_gt"] | f["normal_eff_gt"]
+    ci_t = np.searchsorted(pu_t.ukeys, keys)
+    ci_n = np.searchsorted(pu_n.ukeys, keys)
+    dq_t = get_dqstats_batch(pu_t, ci_t, rb4, wanted)
+    dq_n = get_dqstats_batch(pu_n, ci_n, rb4, wanted)
+
     out = []
-    f = {k: np.asarray(v) for k, v in res._asdict().items()}
-    for i in idx:
-        key = int(batch.keys[i])
-        tid = key >> 40
-        pos = key & ((1 << 40) - 1)
-        rb4 = int(ref16[i])
-        wanted = rb4 | int(f["tumor_eff_gt"][i]) | int(f["normal_eff_gt"][i])
-        sl_t = _column_slice(pu_t, key)
-        sl_n = _column_slice(pu_n, key)
-        tumor = _sample_data(
-            pu_t, sl_t, rb4, wanted,
-            int(f["tumor_gt"][i]), int(f["joint_tumor_gt"][i]),
-            int(f["joint_cnsq"][i]), int(f["tumor_cnsq"][i]),
-            int(f["tumor_vaq"][i]), int(f["somatic_score"][i]),
-            int(f["tumor_status"][i]),
+    for k in range(len(idx)):
+        i = idx[k]
+        tumor = SampleData(
+            genotype=int(f["tumor_gt"][k]),
+            joint_genotype=int(f["joint_tumor_gt"][k]),
+            joint_consensus_quality=int(f["joint_cnsq"][k]),
+            consensus_quality=int(f["tumor_cnsq"][k]),
+            variant_allele_quality=int(f["tumor_vaq"][k]),
+            somatic_score=int(f["somatic_score"][k]),
+            variant_status=int(f["tumor_status"][k]),
+            dqstats=dq_t[k],
         )
-        normal = _sample_data(
-            pu_n, sl_n, rb4, wanted,
-            int(f["normal_gt"][i]), int(f["joint_normal_gt"][i]),
-            int(f["joint_cnsq"][i]), int(f["normal_cnsq"][i]),
-            int(f["normal_vaq"][i]), -1,
-            int(f["normal_status"][i]),
+        normal = SampleData(
+            genotype=int(f["normal_gt"][k]),
+            joint_genotype=int(f["joint_normal_gt"][k]),
+            joint_consensus_quality=int(f["joint_cnsq"][k]),
+            consensus_quality=int(f["normal_cnsq"][k]),
+            variant_allele_quality=int(f["normal_vaq"][k]),
+            somatic_score=-1,
+            variant_status=int(f["normal_status"][k]),
+            dqstats=dq_n[k],
         )
         rec = SniperRecord(
-            seq_name=header.ref_names[tid],
-            pos=int(pos),
+            seq_name=header.ref_names[int(tids[k])],
+            pos=int(poss[k]),
             ref_base=int(chars[i]),
-            ref_base4=rb4,
+            ref_base4=int(rb4[k]),
             tumor=tumor,
             normal=normal,
         )
-        out.append((key, rec))
+        out.append((int(keys[k]), rec))
     return out

@@ -1,0 +1,111 @@
+"""Pure-ref column prefilter: safety + native/numpy parity.
+
+The filter may only drop columns the caller could never emit
+(reference somatic_sniper.c:156 SNP gate); these tests check that
+(a) filtered and unfiltered runs produce identical records,
+(b) the native C++ flag pass and the vectorized numpy fallback agree,
+(c) every flagged column's exact consensus call is hom-ref.
+"""
+
+import numpy as np
+import pytest
+
+from somatic_sniper_tpu.io import native_api
+from somatic_sniper_tpu.io.fasta import FastaFile
+from somatic_sniper_tpu.models.tables import ModelParams, build_tables
+from somatic_sniper_tpu.pileup.prefilter import (
+    build_ref16,
+    prefilter_tables,
+    pure_flags,
+    pure_flags_np,
+)
+from somatic_sniper_tpu.runner import call_pair
+
+
+def _sim_dir(data_dir):
+    return data_dir / "e2e" / "sim1"
+
+
+def _load(data_dir, sample):
+    d = _sim_dir(data_dir)
+    return native_api.load_and_columnize(str(d / f"{sample}.bam"))
+
+
+def _refblob(data_dir, header):
+    fasta = FastaFile(str(_sim_dir(data_dir) / "ref.fa"))
+    return build_ref16([fasta.fetch(n) for n in header.ref_names])
+
+
+@pytest.fixture(scope="module")
+def tabs():
+    return build_tables(ModelParams())
+
+
+def test_native_matches_numpy(data_dir, tabs):
+    header, pu = _load(data_dir, "tumor")
+    ref16, ref_off = _refblob(data_dir, header)
+    gmin, margin = prefilter_tables(tabs)
+    f_native = pure_flags(pu, ref16, ref_off, tabs.fk, gmin, margin)
+    f_np = pure_flags_np(pu, ref16, ref_off, tabs.fk, gmin, margin)
+    assert np.array_equal(f_native, f_np)
+    # the filter must actually fire on clean simulated data
+    assert f_native.mean() > 0.3
+
+
+def test_flagged_columns_call_hom_ref(data_dir, tabs):
+    """Exact-path consensus of every flagged column equals the ref set."""
+    import jax.numpy as jnp
+
+    from somatic_sniper_tpu.models.consensus import glf2cns_batch
+    from somatic_sniper_tpu.models.glfgen import ColumnBatch, glfgen_batch
+
+    header, pu = _load(data_dir, "tumor")
+    ref16, ref_off = _refblob(data_dir, header)
+    gmin, margin = prefilter_tables(tabs)
+    flags = pure_flags(pu, ref16, ref_off, tabs.fk, gmin, margin)
+    idx = np.nonzero(flags)[0][:512]
+    assert len(idx) > 100
+    depths = pu.depths[idx]
+    D = int(depths.max())
+    B = len(idx)
+    slots = np.zeros((B, D), np.uint32)
+    for b, ci in enumerate(idx):
+        s, e = pu.offsets[ci], pu.offsets[ci + 1]
+        slots[b, : e - s] = pu.slots[s:e]
+    tid = (pu.ukeys[idx] >> 40).astype(np.int64)
+    pos = (pu.ukeys[idx] & ((1 << 40) - 1)).astype(np.int64)
+    rb4 = ref16[ref_off[tid] + pos].astype(np.int32)
+    cb = ColumnBatch(
+        slots=jnp.asarray(slots),
+        depth=jnp.asarray(depths.astype(np.int32)),
+        ref16=jnp.asarray(rb4),
+    )
+    g = glfgen_batch(cb, tabs.fk, tabs.coef, tabs.lhet, precision="exact")
+    cns = glf2cns_batch(g.lk, cb.depth, tabs.q_r_int)
+    assert np.array_equal(np.asarray(cns.base1), rb4)
+
+
+def test_prefilter_output_identical(data_dir):
+    d = _sim_dir(data_dir)
+    args = (str(d / "tumor.bam"), str(d / "normal.bam"), str(d / "ref.fa"))
+    params = ModelParams(min_somatic_qual=0)
+    on = list(call_pair(*args, params=params, prefilter=True))
+    off = list(call_pair(*args, params=params, prefilter=False))
+    assert len(on) == len(off) and len(on) > 0
+    assert on == off
+
+
+def test_prefilter_output_identical_joint(data_dir):
+    d = _sim_dir(data_dir)
+    args = (str(d / "tumor.bam"), str(d / "normal.bam"), str(d / "ref.fa"))
+    params = ModelParams(use_joint_priors=True, include_loh=False,
+                         include_gor=False, min_somatic_qual=0)
+    on = list(call_pair(*args, params=params, prefilter=True))
+    off = list(call_pair(*args, params=params, prefilter=False))
+    assert on == off and len(on) > 0
+
+
+def test_prefilter_disabled_for_extreme_het_rate():
+    tabs = build_tables(ModelParams(het_rate=0.45))
+    assert tabs.q_r_int < 1
+    assert prefilter_tables(tabs) is None
