@@ -373,116 +373,111 @@ NativePileup* pileup_build(const NativeBam* nb, int flag_mask,
         ridx.swap(kept);
     }
 
-    // pass 2: count entries (M and D run lengths)
-    int64_t n_entries = 0;
-    for (int64_t r : ridx) {
-        for (int64_t c = nb->cigar_off[r]; c < nb->cigar_off[r + 1]; ++c) {
-            uint32_t op = nb->cigar[c] & 0xF;
-            if (op == CMATCH || op == CDEL) n_entries += nb->cigar[c] >> 4;
+    // pass 2+3: per-contig counting build.  Reads are coordinate-sorted,
+    // so kept reads form contiguous tid segments.  Per segment:
+    //   (a) difference-array coverage counts over [0, max_end) — O(runs),
+    //       one ++/-- per M/D CIGAR run instead of one per base;
+    //   (b) prefix-sum to per-position entry offsets, emitting
+    //       ukeys/offsets for covered positions on the fly;
+    //   (c) scatter the packed slot words through per-position cursors.
+    // Replaces the previous sort(+unique) of all entries — O(entries)
+    // instead of O(entries log entries), ~8x faster at 30x depth.
+    // Within-column entry order becomes read-arrival order (the same
+    // order the reference's linked-list pileup produces); the model is
+    // order-independent within a column (see SURVEY glfgen analysis).
+    std::vector<uint32_t> diff;  // coverage diff, then per-pos cursors
+    size_t i0 = 0;
+    while (i0 < ridx.size()) {
+        size_t i1 = i0;
+        const int32_t tid = nb->tid[ridx[i0]];
+        int64_t max_end = 0;
+        while (i1 < ridx.size() && nb->tid[ridx[i1]] == tid) {
+            int64_t e = read_end(nb, ridx[i1]);
+            if (e > max_end) max_end = e;
+            ++i1;
         }
-    }
-    st->keys.resize(n_entries);
-    st->slots.resize(n_entries);
+        diff.assign((size_t)max_end + 1, 0u);
 
-    // pass 3: expand
-    int64_t e = 0;
-    for (int64_t r : ridx) {
-        int64_t x = nb->pos[r];
-        int64_t y = 0;
-        const int64_t so = nb->seq_off[r];
-        const int64_t max_q = nb->l_qseq[r] > 0 ? nb->l_qseq[r] - 1 : 0;
-        const uint32_t mq = nb->mapq[r];
-        const uint32_t strand = (nb->flag[r] >> 4) & 1;
-        const int64_t key_hi = ((int64_t)nb->tid[r]) << 40;
-        for (int64_t c = nb->cigar_off[r]; c < nb->cigar_off[r + 1]; ++c) {
-            uint32_t op = nb->cigar[c] & 0xF;
-            int64_t l = nb->cigar[c] >> 4;
-            if (op == CMATCH) {
-                for (int64_t i = 0; i < l; ++i) {
-                    int64_t qp = y + i;
-                    if (qp > max_q) qp = max_q;
-                    st->keys[e] = key_hi | (x + i);
-                    st->slots[e] = mq | ((uint32_t)nb->qual[so + qp] << 8) |
-                                   ((uint32_t)nb->seq[so + qp] << 16) |
-                                   (strand << 20);
-                    ++e;
-                }
-                x += l;
-                y += l;
-            } else if (op == CDEL) {
-                for (int64_t i = 0; i < l; ++i) {
-                    st->keys[e] = key_hi | (x + i);
-                    st->slots[e] = mq | (strand << 20) | (1u << 21);
-                    ++e;
-                }
-                x += l;
-            } else if (op == CREF_SKIP) {
-                x += l;
-            } else if (op == CINS || op == CSOFT) {
-                y += l;
-            }
-            // H/P/=/X ignored, exactly like samtools-0.1.6
-        }
-    }
-
-    // pass 4: sort by position.  Entries come out tid-grouped (reads are
-    // coordinate sorted), and the model is order-independent within a
-    // column (see SURVEY glfgen analysis), so each tid segment sorts
-    // (pos, slot) packed into one u64 (pos<<22 | slot; pos < 2^31, slot is
-    // 22 bits) — cache-friendly, no index indirection, and segments sort
-    // in parallel.
-    {
-        const uint64_t POS_MASK = ((uint64_t)1 << 40) - 1;
-        std::vector<std::pair<int64_t, int64_t>> segs;
-        int64_t s0 = 0;
-        for (int64_t i = 1; i <= n_entries; ++i) {
-            if (i == n_entries ||
-                (st->keys[i] >> 40) != (st->keys[s0] >> 40)) {
-                segs.push_back({s0, i});
-                s0 = i;
-            }
-        }
-        std::atomic<size_t> next_seg(0);
-        auto sort_worker = [&]() {
-            for (;;) {
-                size_t si = next_seg.fetch_add(1);
-                if (si >= segs.size()) break;
-                auto [a, b] = segs[si];
-                int64_t tid_hi = st->keys[a] & ~POS_MASK;
-                std::vector<uint64_t> combo(b - a);
-                for (int64_t i = a; i < b; ++i)
-                    combo[i - a] =
-                        ((uint64_t)(st->keys[i] & POS_MASK) << 22) |
-                        st->slots[i];
-                std::sort(combo.begin(), combo.end());
-                for (int64_t i = a; i < b; ++i) {
-                    st->keys[i] = tid_hi | (int64_t)(combo[i - a] >> 22);
-                    st->slots[i] = (uint32_t)(combo[i - a] & 0x3FFFFF);
+        // (a) coverage diffs per M/D run
+        for (size_t k = i0; k < i1; ++k) {
+            int64_t r = ridx[k];
+            int64_t x = nb->pos[r];
+            for (int64_t c = nb->cigar_off[r]; c < nb->cigar_off[r + 1];
+                 ++c) {
+                uint32_t op = nb->cigar[c] & 0xF;
+                int64_t l = nb->cigar[c] >> 4;
+                if (op == CMATCH || op == CDEL) {
+                    ++diff[x];
+                    --diff[x + l];  // x+l <= max_end by construction
+                    x += l;
+                } else if (op == CREF_SKIP) {
+                    x += l;
                 }
             }
-        };
-        unsigned hw = std::thread::hardware_concurrency();
-        int nthr = hw ? (int)hw : 2;
-        std::vector<std::thread> ts;
-        for (int t = 1; t < nthr && (size_t)t < segs.size(); ++t)
-            ts.emplace_back(sort_worker);
-        sort_worker();
-        for (auto& t : ts) t.join();
-    }
-
-    // pass 5: unique columns + offsets
-    for (int64_t i = 0; i < n_entries; ++i) {
-        if (i == 0 || st->keys[i] != st->keys[i - 1]) {
-            st->ukeys.push_back(st->keys[i]);
-            st->offsets.push_back(i);
         }
+
+        // (b) prefix sum -> per-position start offsets + column index
+        const int64_t base = (int64_t)st->slots.size();
+        const int64_t key_hi = ((int64_t)tid) << 40;
+        uint32_t depth = 0;
+        uint32_t excl = 0;
+        for (int64_t p = 0; p < max_end; ++p) {
+            depth += diff[p];
+            diff[p] = excl;  // repurpose as scatter cursor
+            if (depth > 0) {
+                st->ukeys.push_back(key_hi | p);
+                st->offsets.push_back(base + excl);
+                excl += depth;
+            }
+        }
+        st->slots.resize((size_t)(base + excl));
+
+        // (c) stable scatter of packed slots
+        uint32_t* out = st->slots.data() + base;
+        for (size_t k = i0; k < i1; ++k) {
+            int64_t r = ridx[k];
+            int64_t x = nb->pos[r];
+            int64_t y = 0;
+            const int64_t so = nb->seq_off[r];
+            const int64_t max_q = nb->l_qseq[r] > 0 ? nb->l_qseq[r] - 1 : 0;
+            const uint32_t mq = nb->mapq[r];
+            const uint32_t strand = (nb->flag[r] >> 4) & 1;
+            for (int64_t c = nb->cigar_off[r]; c < nb->cigar_off[r + 1];
+                 ++c) {
+                uint32_t op = nb->cigar[c] & 0xF;
+                int64_t l = nb->cigar[c] >> 4;
+                if (op == CMATCH) {
+                    for (int64_t i = 0; i < l; ++i) {
+                        int64_t qp = y + i;
+                        if (qp > max_q) qp = max_q;
+                        out[diff[x + i]++] =
+                            mq | ((uint32_t)nb->qual[so + qp] << 8) |
+                            ((uint32_t)nb->seq[so + qp] << 16) |
+                            (strand << 20);
+                    }
+                    x += l;
+                    y += l;
+                } else if (op == CDEL) {
+                    for (int64_t i = 0; i < l; ++i)
+                        out[diff[x + i]++] = mq | (strand << 20) | (1u << 21);
+                    x += l;
+                } else if (op == CREF_SKIP) {
+                    x += l;
+                } else if (op == CINS || op == CSOFT) {
+                    y += l;
+                }
+                // H/P/=/X ignored, exactly like samtools-0.1.6
+            }
+        }
+        i0 = i1;
     }
+    const int64_t n_entries = (int64_t)st->slots.size();
     st->offsets.push_back(n_entries);
 
     auto* np = new NativePileup();
     np->n_entries = n_entries;
     np->n_cols = (int64_t)st->ukeys.size();
-    np->keys = st->keys.data();
+    np->keys = nullptr;  // per-entry keys are implied by ukeys/offsets
     np->slots = st->slots.data();
     np->ukeys = st->ukeys.data();
     np->offsets = st->offsets.data();
