@@ -100,6 +100,15 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint32),
         ]
+        lib.pileup_pad16.argtypes = [
+            ctypes.POINTER(NativePileupStruct),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.pileup_flags.argtypes = [
             ctypes.POINTER(NativePileupStruct),
             ctypes.POINTER(ctypes.c_uint8),

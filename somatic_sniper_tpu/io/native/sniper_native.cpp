@@ -567,4 +567,59 @@ void pileup_pad(const NativePileup* np, const int64_t* col_idx, int64_t B,
     }
 }
 
+// Compact 16-bit padding for the device fast path.
+//
+// The f32 likelihood kernel only needs each non-deleted read's
+// (base2, strand, floored effQ): reads of equal class and effQ are
+// interchangeable under the MAQ rank weighting (same fk·effQ terms in
+// any order), so baseQ/mapQ tie-break bits carry no information, and
+// the per-column RMS-mapQ sum and non-deleted count are scalars this
+// pass computes host-side.  Halves host->device bytes vs the u32 slots.
+//
+// out16 entry: effq | base2<<8 | strand<<10  (base2 = 0 when the base
+// is ambiguous — such reads join class A exactly like the reference's
+// unset aux base bits, sniper_maqcns.c:144-156).  ref16 supplies the
+// '=' resolution per column.
+void pileup_pad16(const NativePileup* np, const int64_t* col_idx,
+                  const int32_t* ref16, int64_t B, int64_t D,
+                  int32_t cap_mapq, uint16_t* out16, int32_t* out_nkeep,
+                  int32_t* out_rms) {
+    memset(out16, 0, sizeof(uint16_t) * B * D);
+    for (int64_t b = 0; b < B; ++b) {
+        int64_t ci = col_idx[b];
+        int64_t s = np->offsets[ci];
+        int64_t e = np->offsets[ci + 1];
+        int64_t k = 0;
+        int64_t rms = 0;
+        for (int64_t i = s; i < e; ++i) {
+            uint32_t w = np->slots[i];
+            if ((w >> 21) & 1) continue;  // deletion
+            uint32_t mq = w & 0xFF;
+            uint32_t q = (w >> 8) & 0xFF;
+            uint32_t b16 = (w >> 16) & 0xF;
+            uint32_t strand = (w >> 20) & 1;
+            uint32_t code = b16 ? b16 : (uint32_t)ref16[b];
+            uint32_t base2;
+            switch (code) {
+                case 1: base2 = 0; break;
+                case 2: base2 = 1; break;
+                case 4: base2 = 2; break;
+                case 8: base2 = 3; break;
+                default: base2 = 0; break;  // ambiguous -> class A
+            }
+            uint32_t eff = q < mq ? q : mq;
+            if (eff < 4 && (q & 0x3F) != 0) eff = 4;
+            if (k < D)
+                out16[b * D + k] =
+                    (uint16_t)(eff | (base2 << 8) | (strand << 10));
+            ++k;
+            int32_t m7 = (int32_t)(mq & 0x7F);
+            if (m7 > cap_mapq) m7 = cap_mapq;
+            rms += (int64_t)m7 * m7;
+        }
+        out_nkeep[b] = (int32_t)k;
+        out_rms[b] = (int32_t)rms;
+    }
+}
+
 }  // extern "C"

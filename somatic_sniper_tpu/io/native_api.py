@@ -96,6 +96,27 @@ class _PileupHandle:
         )
         return out
 
+    def pad16(self, col_idx: np.ndarray, ref16: np.ndarray, D: int,
+              cap_mapq: int):
+        """(slots u16[B,D], n_keep i32[B], rms_sum i32[B]) compact padding
+        for the device fast path (see pileup_pad16 in the native source)."""
+        B = len(col_idx)
+        out = np.empty((B, D), np.uint16)
+        nk = np.empty(B, np.int32)
+        rms = np.empty(B, np.int32)
+        ci = np.ascontiguousarray(col_idx, dtype=np.int64)
+        r16 = np.ascontiguousarray(ref16, dtype=np.int32)
+        self._lib.pileup_pad16(
+            self._ptr,
+            ci.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            r16.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            B, D, cap_mapq,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            nk.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            rms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return out, nk, rms
+
     def __del__(self):
         try:
             self._lib.pileup_destroy(self._ptr)

@@ -53,16 +53,26 @@ class GlfResult(NamedTuple):
 class ColumnBatch(NamedTuple):
     """Dense pileup-column batch in packed-slot form.
 
-    ``slots``: [B, D] uint32, one entry per (column, read):
+    Default (u32) encoding — one entry per (column, read):
     ``mapQ | baseQ<<8 | base16<<16 | strand<<20 | is_del<<21``, with the
     first ``depth[b]`` slots of row b occupied (host packs contiguously).
     This single-word layout is what the host pileup emits and what crosses
     PCIe/ICI — 1/6th the bytes of a struct-of-arrays batch.
+
+    Compact (u16) fast-path encoding — when ``n_keep`` is present,
+    ``slots`` is uint16 ``effq | base2<<8 | strand<<10`` holding only the
+    non-deleted entries (first ``n_keep[b]`` slots of row b), and the
+    per-column RMS-mapQ sums ride in ``rms_sum``.  Reads of equal
+    (class, effq) are interchangeable under the MAQ rank weighting, so
+    this halved encoding loses nothing the f32 path can observe; the
+    exact (f64) path requires the u32 form.
     """
 
-    slots: jax.Array   # [B, D] uint32
+    slots: jax.Array   # [B, D] uint32 (or uint16, see above)
     depth: jax.Array   # [B] int32 occupied slot count (incl. deletions)
     ref16: jax.Array   # [B] int32
+    n_keep: jax.Array | None = None   # [B] int32 non-deleted entry count
+    rms_sum: jax.Array | None = None  # [B] int32 sum min(mapq&0x7F,cap)^2
 
 
 SLOT_MAPQ_SHIFT = 0
@@ -269,12 +279,96 @@ def _fast_accumulate(info, n, theta, eta, cap_mapq, max_w=255):
     return esum, fsum, c, rms
 
 
+def _fast_accumulate16(slots16, n_keep, theta, eta, max_w=255):
+    """XLA fast-path accumulation over the compact u16 encoding.
+
+    Only (class, effq) survive in the u16 slots; within a class, equal
+    effq makes reads interchangeable, so a class-major / effq-descending
+    sort reproduces the reference's fk rank weighting exactly (see
+    _fast_accumulate for the u32 derivation).  rms/n are host-computed
+    and live in ColumnBatch, so only esum/fsum/c come from here.
+    """
+    B, D = slots16.shape
+    s = slots16.astype(I32)
+    j_idx = jax.lax.broadcasted_iota(I32, (B, D), 1)
+    occupied = j_idx < n_keep[:, None]
+    eff0 = s & 0xFF
+    base2 = (s >> 8) & 3
+    strand = (s >> 10) & 1
+    k8_0 = strand * 4 + base2
+    upd0 = occupied & (eff0 > 0)
+
+    # class-major, effq-descending composite key; non-upd entries pad
+    key = (k8_0 << 9) | (255 - eff0)
+    key = jnp.where(upd0, key, (1 << 14) - 1)
+    key = jnp.sort(key, axis=1)
+    valid = key != (1 << 14) - 1
+    k8 = jnp.where(valid, key >> 9, 7)
+    eff = jnp.where(valid, 255 - (key & 0x1FF), 0)
+    k4 = k8 & 3
+
+    # rank within class = position - class segment start
+    cs_excl = jnp.cumsum(valid.astype(I32), axis=1) - valid.astype(I32)
+    class_cnt = jnp.stack(
+        [((k8 == k) & valid).sum(axis=1) for k in range(8)], axis=1
+    )
+    seg_start = jnp.cumsum(class_cnt, axis=1) - class_cnt
+    oh_k8 = jax.nn.one_hot(k8, 8, dtype=F32)
+    start_of_entry = jnp.einsum(
+        "bdk,bk->bd", oh_k8, seg_start.astype(F32)
+    ).astype(I32)
+    rank = cs_excl - start_of_entry
+
+    theta32 = np.float32(theta)
+    eta32 = np.float32(eta)
+    log_theta = np.float32(np.log(np.float64(theta32))) if theta32 > 0 \
+        else np.float32(-1e30)
+    r = jnp.clip(rank, 0, max_w).astype(F32)
+    fkw = (
+        jnp.exp(r * log_theta) * (np.float32(1.0) - eta32) + eta32
+    ) * valid.astype(F32)
+    eterm = fkw * eff.astype(F32)
+    esum = jnp.stack(
+        [jnp.where(k4 == b, eterm, 0.0).sum(axis=1) for b in range(4)],
+        axis=1,
+    )
+    fsum = jnp.stack(
+        [jnp.where(k4 == b, fkw, 0.0).sum(axis=1) for b in range(4)],
+        axis=1,
+    )
+    c = jnp.stack(
+        [(valid & (k4 == b)).sum(axis=1) for b in range(4)], axis=1
+    ).astype(I32)
+    return esum, fsum, c
+
+
 def _c_trunc_half(x64):
     """C ``(int)(x + 0.5)`` on a nonnegative double: truncate toward zero."""
     return jnp.floor(x64 + 0.5).astype(I32)
 
 
-@partial(jax.jit, static_argnames=("precision", "cap_mapq", "theta", "eta"))
+def _pallas_backend() -> str:
+    """Trace-time choice of the fast-path accumulate implementation.
+
+    The Pallas kernel targets real TPUs (including tunneled platforms);
+    on CPU the XLA path is used (interpret-mode Pallas is for tests).
+    """
+    import os
+
+    forced = os.environ.get("SNIPER_GLFGEN_BACKEND")
+    if forced:
+        return forced
+    try:
+        plat = jax.devices()[0].platform
+    except RuntimeError:
+        plat = "cpu"
+    return "pallas" if plat in ("tpu", "axon") else "xla"
+
+
+@partial(
+    jax.jit,
+    static_argnames=("precision", "cap_mapq", "theta", "eta", "backend"),
+)
 def glfgen_batch(
     cols: ColumnBatch,
     fk64,
@@ -284,23 +378,62 @@ def glfgen_batch(
     cap_mapq: int = 60,
     theta: float = 0.85,
     eta: float = 0.03,
+    backend: str = "auto",
 ) -> GlfResult:
     """Batched sniper_maqcns_glfgen (reference sniper_maqcns.c:127-248).
 
     ``theta``/``eta`` are only used by the fast path's in-register fk
     computation; the exact path reads the float64 ``fk64`` table.
+    ``backend`` selects the fast-path accumulate: "auto" (Pallas on TPU,
+    XLA elsewhere), "xla", "pallas", or "pallas_interpret" (tests).
     """
     acc_f = F64 if precision == "exact" else F32
 
-    info, n = pack_info(cols)
-
     if precision == "exact":
+        if cols.n_keep is not None:
+            raise ValueError(
+                "the exact path needs the u32 slot encoding "
+                "(u16 batches are fast-path only)"
+            )
+        info, n = pack_info(cols)
         info_sorted = jnp.sort(info, axis=1)
         esum, fsum, c, rms = _exact_accumulate(info_sorted, n, fk64, cap_mapq)
         coef = jnp.asarray(coef64, dtype=F64)
         lhet = jnp.asarray(lhet64, dtype=F64)
     else:
-        esum, fsum, c, rms = _fast_accumulate(info, n, theta, eta, cap_mapq)
+        if backend == "auto":
+            backend = _pallas_backend()
+            if cols.slots.shape[1] > 128:
+                # the kernel's pairwise-rotation rank is O(D^2); deep
+                # (rare) buckets stay on the sort-based XLA path
+                backend = "xla"
+        if cols.n_keep is not None:  # compact u16 encoding
+            if backend in ("pallas", "pallas_interpret"):
+                from ..ops.pallas_glfgen import accumulate16
+
+                esum, fsum, c = accumulate16(
+                    cols.slots, cols.n_keep, theta=theta, eta=eta,
+                    interpret=(backend == "pallas_interpret"),
+                )
+            else:
+                esum, fsum, c = _fast_accumulate16(
+                    cols.slots, cols.n_keep, theta, eta
+                )
+            rms = cols.rms_sum
+            n = cols.n_keep
+        elif backend in ("pallas", "pallas_interpret"):
+            from ..ops.pallas_glfgen import accumulate
+
+            esum, fsum, c, rms, n = accumulate(
+                cols.slots, cols.depth, cols.ref16,
+                theta=theta, eta=eta, cap_mapq=cap_mapq,
+                interpret=(backend == "pallas_interpret"),
+            )
+        else:
+            info, n = pack_info(cols)
+            esum, fsum, c, rms = _fast_accumulate(
+                info, n, theta, eta, cap_mapq
+            )
         coef = jnp.asarray(coef64, dtype=F32)
         lhet = jnp.asarray(lhet64, dtype=F32)
 

@@ -55,7 +55,9 @@ def _proper_subset(a, b):
 
 @partial(
     jax.jit,
-    static_argnames=("precision", "use_joint", "cap_mapq", "theta", "eta"),
+    static_argnames=(
+        "precision", "use_joint", "cap_mapq", "theta", "eta", "glf_backend",
+    ),
 )
 def call_batch(
     tumor: ColumnBatch,
@@ -75,6 +77,7 @@ def call_batch(
     cap_mapq: int = 60,
     theta: float = 0.85,
     eta: float = 0.03,
+    glf_backend: str = "auto",
 ) -> CallResult:
     """Batched glf_somatic (reference somatic_sniper.c:109-273).
 
@@ -87,9 +90,11 @@ def call_batch(
     inside the outer block emits without passing it.
     """
     g_t = glfgen_batch(tumor, fk64, coef64, lhet64, precision=precision,
-                       cap_mapq=cap_mapq, theta=theta, eta=eta)
+                       cap_mapq=cap_mapq, theta=theta, eta=eta,
+                       backend=glf_backend)
     g_n = glfgen_batch(normal, fk64, coef64, lhet64, precision=precision,
-                       cap_mapq=cap_mapq, theta=theta, eta=eta)
+                       cap_mapq=cap_mapq, theta=theta, eta=eta,
+                       backend=glf_backend)
 
     cns_t = glf2cns_batch(g_t.lk, tumor.depth, q_r_int)
     cns_n = glf2cns_batch(g_n.lk, normal.depth, q_r_int)
@@ -204,6 +209,7 @@ class CompactResult(NamedTuple):
     jax.jit,
     static_argnames=(
         "precision", "use_joint", "cap_mapq", "theta", "eta", "max_emit",
+        "glf_backend",
     ),
 )
 def call_batch_compact(
@@ -225,6 +231,7 @@ def call_batch_compact(
     theta: float = 0.85,
     eta: float = 0.03,
     max_emit: int = 16384,
+    glf_backend: str = "auto",
 ) -> CompactResult:
     """call_batch + on-device compaction of the emitted rows.
 
@@ -236,6 +243,7 @@ def call_batch_compact(
         qadd_table, q_r_int, precision=precision, use_joint=use_joint,
         min_somatic_qual=min_somatic_qual, include_loh=include_loh,
         include_gor=include_gor, cap_mapq=cap_mapq, theta=theta, eta=eta,
+        glf_backend=glf_backend,
     )
     K = min(max_emit, res.emit.shape[0])
     idx = jnp.nonzero(res.emit, size=K, fill_value=0)[0].astype(I32)

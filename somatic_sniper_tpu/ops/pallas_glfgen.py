@@ -1,0 +1,311 @@
+"""Pallas TPU kernel for the glfgen per-column accumulation.
+
+The depth-axis reduction of the MAQ likelihood model (reference
+sniper_maqcns.c:144-182) is the hot op of the caller: per pileup column
+it needs each read's fk rank *within its (base, strand) class by
+descending effective quality*, then class-wise weighted sums.  The XLA
+fast path realizes the ranks with a [B, D] sort plus one-hot einsum
+contractions — several HBM round trips of [B, D]-sized intermediates.
+
+This kernel fuses the whole reduction into one VMEM-resident pass per
+[TB, D] block: field decode from the packed u32 slots, rank computation
+by pairwise comparison (a D-step loop of [TB, D] VPU ops — for the
+depth buckets that dominate 30x data, D <= 128, this beats a sort), fk
+weights in-register, and masked class sums.  Outputs are the same
+(esum, fsum, c, rms, n) the XLA path produces; the 10-genotype assembly
+(table lookups, quantization) stays outside — its coef table (16 MiB)
+cannot live in VMEM.
+
+Rank semantics replicated exactly (see glfgen.pack_info):
+  rank(i) = #{j : class_j == class_i, upd_j,
+              (subkey_j, -j) > (subkey_i, -i)}
+with subkey = effq<<17 | valid<<16 | baseQ<<8 | mapQ — the within-class
+projection of the reference's descending u32 visit order.  Ties in
+subkey are resolved by index; tied reads have identical contributions,
+so any strict total order matches the reference sums.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+I32 = jnp.int32
+F32 = jnp.float32
+
+# Kernel tracing inside an already-deep jit stack (runner -> call_batch ->
+# glfgen -> pallas) can exceed CPython's default recursion limit.
+import sys as _sys
+
+if _sys.getrecursionlimit() < 10000:
+    _sys.setrecursionlimit(10000)
+
+TB = 256  # batch-axis block rows per grid step
+
+
+def _kernel(slots_ref, meta_ref, esum_ref, fsum_ref, c_ref, aux_ref, *,
+            D, theta32, eta32, log_theta, cap_mapq):
+    s = slots_ref[:].astype(I32)          # [TB, LD] (packed bits < 2^22)
+    depth = meta_ref[:, 0:1]              # [TB, 1] int32
+    ref16 = meta_ref[:, 1:2]              # [TB, 1] int32
+
+    LD = D  # lane-aligned by the wrapper; padding columns are unoccupied
+    j_idx = jax.lax.broadcasted_iota(I32, (TB, LD), 1)
+    occupied = j_idx < depth
+
+    mapq = s & 0xFF
+    q = (s >> 8) & 0xFF
+    b16 = (s >> 16) & 0xF
+    strand = (s >> 20) & 1
+    isdel = (s >> 21) & 1
+    keep = occupied & (isdel == 0)
+
+    # nt16 -> nt4 ('=' resolves to the reference base)
+    code = jnp.where(b16 != 0, b16, ref16)
+    base2 = jnp.full((TB, LD), 4, I32)
+    for c16, c4 in ((1, 0), (2, 1), (4, 2), (8, 3)):
+        base2 = jnp.where(code == c16, c4, base2)
+    has_base = base2 < 4
+    k4 = jnp.where(has_base, base2, 0)
+    k8 = strand * 4 + k4
+
+    eff = jnp.minimum(q, mapq)
+    eff = jnp.where((eff < 4) & ((q & 0x3F) != 0), 4, eff)
+    upd = keep & (eff > 0)
+
+    ones = jnp.ones((TB, LD), I32)
+    zeros = jnp.zeros((TB, LD), I32)
+    fzeros = jnp.zeros((TB, LD), F32)
+    ck = (eff << 17) | (jnp.where(has_base, ones, zeros) << 16) | \
+        (q << 8) | mapq
+    # mask non-participants out of the comparison universe
+    k8m = jnp.where(upd, k8, jnp.full_like(k8, -1))
+
+    # rank(j) = #{j' != j in same class, upd, with (ck, -index) greater}.
+    # Enumerate all ordered pairs via rotations: at step t, column j is
+    # compared against j' = (j - t) mod D; j' < j iff j >= t.  A fori_loop
+    # of dynamic lane rotations keeps VMEM liveness at O(1) blocks (a
+    # fully unrolled version exhausts scoped VMEM), and needs no sort or
+    # dynamic slicing.  Typed selects replace bool->int astypes (Mosaic's
+    # convert lowering recursion is deep enough to overflow the host
+    # stack in nested-jit contexts).
+    def body(t, carry):
+        rank, tvec = carry
+        ck_r = pltpu.roll(ck, t, 1)
+        k8_r = pltpu.roll(k8m, t, 1)
+        higher = (ck_r > ck) | ((ck_r == ck) & (j_idx >= tvec))
+        return (rank + jnp.where((k8_r == k8) & higher, ones, zeros),
+                tvec + ones)
+
+    rank, _ = jax.lax.fori_loop(
+        jnp.int32(1), jnp.int32(LD), body,
+        (jnp.zeros((TB, LD), I32), ones),
+    )
+
+    r = jnp.minimum(rank, jnp.full_like(rank, 255)).astype(F32)
+    fkw = jnp.where(
+        upd,
+        jnp.exp(r * log_theta) * (F32(1.0) - eta32) + eta32,
+        fzeros,
+    )
+    eterm = fkw * eff.astype(F32)
+
+    esum_ref[:] = jnp.stack(
+        [jnp.where(k4 == k, eterm, fzeros).sum(axis=1) for k in range(4)],
+        axis=1,
+    )
+    fsum_ref[:] = jnp.stack(
+        [jnp.where(k4 == k, fkw, fzeros).sum(axis=1) for k in range(4)],
+        axis=1,
+    )
+    c_ref[:] = jnp.stack(
+        [jnp.where(upd & (k4 == k), ones, zeros).sum(axis=1)
+         for k in range(4)],
+        axis=1,
+    )
+    mq7 = jnp.minimum(mapq & 0x7F, jnp.full_like(mapq, cap_mapq))
+    rms = jnp.where(keep, mq7 * mq7, zeros).sum(axis=1)
+    n = jnp.where(keep, ones, zeros).sum(axis=1)
+    aux_ref[:] = jnp.stack([rms, n], axis=1)
+
+
+def _kernel16(slots_ref, meta_ref, esum_ref, fsum_ref, c_ref, *,
+              D, theta32, eta32, log_theta):
+    """Compact-u16 variant: slots are ``effq | base2<<8 | strand<<10``
+    with only non-deleted entries present (first n_keep per row); rms/n
+    are host-computed.  Rank order within a class reduces to
+    (effq desc, index) — equal-effq reads are interchangeable."""
+    s = slots_ref[:]  # i32 (widened outside: Mosaic's i16 convert loops)
+    n_keep = meta_ref[:, 0:1]
+
+    LD = D  # lane-aligned by the wrapper; padding columns are unoccupied
+    j_idx = jax.lax.broadcasted_iota(I32, (TB, LD), 1)
+    occupied = j_idx < n_keep
+
+    eff = s & 0xFF
+    base2 = (s >> 8) & 3
+    strand = (s >> 10) & 1
+    k4 = base2
+    k8 = strand * 4 + base2
+    upd = occupied & (eff > 0)
+    k8m = jnp.where(upd, k8, jnp.full_like(k8, -1))
+
+    # Mosaic lowers each convert_element_type through a deeply recursive
+    # helper chain; with the loop body and the reductions below this can
+    # blow the host recursion limit, so the kernel uses typed selects
+    # instead of bool->int/float astypes throughout.
+    ones = jnp.ones((TB, LD), I32)
+    zeros = jnp.zeros((TB, LD), I32)
+    fzeros = jnp.zeros((TB, LD), F32)
+
+    def body(t, carry):
+        rank, tvec = carry
+        eff_r = pltpu.roll(eff, t, 1)
+        k8_r = pltpu.roll(k8m, t, 1)
+        # tvec is a vector copy of t (scalar-vs-vector compares trip
+        # Mosaic's recursive broadcast-convert lowering)
+        higher = (eff_r > eff) | ((eff_r == eff) & (j_idx >= tvec))
+        return (rank + jnp.where((k8_r == k8) & higher, ones, zeros),
+                tvec + ones)
+
+    rank, _ = jax.lax.fori_loop(
+        jnp.int32(1), jnp.int32(LD), body,
+        (jnp.zeros((TB, LD), I32), ones),
+    )
+
+    r = jnp.minimum(rank, jnp.full_like(rank, 255)).astype(F32)
+    fkw = jnp.where(
+        upd,
+        jnp.exp(r * log_theta) * (F32(1.0) - eta32) + eta32,
+        fzeros,
+    )
+    eterm = fkw * eff.astype(F32)
+
+    esum_ref[:] = jnp.stack(
+        [jnp.where(k4 == k, eterm, fzeros).sum(axis=1) for k in range(4)],
+        axis=1,
+    )
+    fsum_ref[:] = jnp.stack(
+        [jnp.where(k4 == k, fkw, fzeros).sum(axis=1) for k in range(4)],
+        axis=1,
+    )
+    c_ref[:] = jnp.stack(
+        [jnp.where(upd & (k4 == k), ones, zeros).sum(axis=1)
+         for k in range(4)],
+        axis=1,
+    )
+
+
+def accumulate16(slots16, n_keep, theta: float = 0.85, eta: float = 0.03,
+                 interpret: bool = False):
+    """(esum f32[B,4], fsum f32[B,4], c i32[B,4]) over the compact u16
+    encoding — drop-in replacement for glfgen._fast_accumulate16."""
+    B, D = slots16.shape
+    Bp = ((B + TB - 1) // TB) * TB
+    Dp = max(D, 128)  # dynamic lane rotations need 128-aligned lanes
+    if Bp != B or Dp != D:
+        slots16 = jnp.pad(slots16, ((0, Bp - B), (0, Dp - D)))
+        n_keep = jnp.pad(n_keep, (0, Bp - B))
+    # widen on-device before the kernel: the accelerator-link transfer
+    # stays u16; Mosaic's own int16->int32 convert lowering recurses
+    si = slots16.astype(jnp.int32)
+    meta = jnp.stack([n_keep.astype(I32), n_keep.astype(I32)], axis=1)
+
+    theta32 = np.float32(theta)
+    eta32 = np.float32(eta)
+    log_theta = (
+        np.float32(np.log(np.float64(theta32)))
+        if theta32 > 0 else np.float32(-1e30)
+    )
+    kern = functools.partial(
+        _kernel16, D=Dp, theta32=theta32, eta32=eta32, log_theta=log_theta,
+    )
+    esum, fsum, c = pl.pallas_call(
+        kern,
+        grid=(Bp // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, Dp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TB, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, 4), F32),
+            jax.ShapeDtypeStruct((Bp, 4), F32),
+            jax.ShapeDtypeStruct((Bp, 4), I32),
+        ],
+        interpret=interpret,
+    )(si, meta)
+    return esum[:B], fsum[:B], c[:B]
+
+
+def accumulate(slots, depth, ref16, theta: float = 0.85, eta: float = 0.03,
+               cap_mapq: int = 60, interpret: bool = False):
+    """(esum f32[B,4], fsum f32[B,4], c i32[B,4], rms i32[B], n i32[B])
+    — drop-in replacement for the XLA fast-path accumulation."""
+    B, D = slots.shape
+    Bp = ((B + TB - 1) // TB) * TB
+    Dp = max(D, 128)  # dynamic lane rotations need 128-aligned lanes
+    if Bp != B or Dp != D:
+        slots = jnp.pad(slots, ((0, Bp - B), (0, Dp - D)))
+        depth = jnp.pad(depth, (0, Bp - B))
+        ref16 = jnp.pad(ref16, (0, Bp - B))
+    si = jax.lax.bitcast_convert_type(slots, jnp.int32)
+    meta = jnp.stack(
+        [depth.astype(I32), ref16.astype(I32)], axis=1
+    )  # [Bp, 2]
+
+    theta32 = np.float32(theta)
+    eta32 = np.float32(eta)
+    log_theta = (
+        np.float32(np.log(np.float64(theta32)))
+        if theta32 > 0 else np.float32(-1e30)
+    )
+    kern = functools.partial(
+        _kernel, D=Dp, theta32=theta32, eta32=eta32,
+        log_theta=log_theta, cap_mapq=int(cap_mapq),
+    )
+    grid = (Bp // TB,)
+    esum, fsum, c, aux = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TB, Dp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TB, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, 4), F32),
+            jax.ShapeDtypeStruct((Bp, 4), F32),
+            jax.ShapeDtypeStruct((Bp, 4), I32),
+            jax.ShapeDtypeStruct((Bp, 2), I32),
+        ],
+        interpret=interpret,
+    )(si, meta)
+    return (
+        esum[:B], fsum[:B], c[:B], aux[:B, 0], aux[:B, 1]
+    )

@@ -72,10 +72,13 @@ def sharded_call_batch(
     normal = shard_column_batch(normal, mesh)
     fk, coef, lhet, solo, joint, qadd, q_r_int = tables_args
     put = lambda x: jax.device_put(jnp.asarray(x), repl)
+    # the Pallas fast-path kernel is not auto-partitionable under a
+    # NamedSharding jit; the XLA accumulate partitions cleanly
     return call_batch(
         tumor, normal,
         put(fk), put(coef), put(lhet), put(solo), put(joint), put(qadd),
-        q_r_int, precision=precision, use_joint=use_joint, **kwargs,
+        q_r_int, precision=precision, use_joint=use_joint,
+        glf_backend="xla", **kwargs,
     )
 
 

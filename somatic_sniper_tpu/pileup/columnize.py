@@ -254,14 +254,30 @@ def bucket_for(depth: int) -> int:
 
 
 class PairedBatch(NamedTuple):
-    """One dense batch of intersected tumor/normal columns."""
+    """One dense batch of intersected tumor/normal columns.
+
+    When built with ``packed16`` (the device fast path), ``tumor``/
+    ``normal`` are compact u16 slot arrays holding only non-deleted
+    entries (effq | base2<<8 | strand<<10) and the per-column keep
+    counts / RMS-mapQ sums ride along — half the transfer bytes of the
+    u32 encoding, which matters on hosts where the accelerator link is
+    the bottleneck.
+    """
 
     keys: np.ndarray         # [B] int64 column keys
     ref16: np.ndarray        # [B] int32 (filled by caller)
-    tumor: np.ndarray        # [B, D] packed u32 slots
-    normal: np.ndarray       # [B, D] packed u32 slots
+    tumor: np.ndarray        # [B, D] packed u32 (or u16) slots
+    normal: np.ndarray       # [B, D] packed u32 (or u16) slots
     n_tumor: np.ndarray      # [B] total entry counts (incl. is_del)
     n_normal: np.ndarray
+    nk_tumor: np.ndarray | None = None   # [B] non-deleted counts (u16 mode)
+    nk_normal: np.ndarray | None = None
+    rms_tumor: np.ndarray | None = None  # [B] sum min(mapq&0x7F,cap)^2
+    rms_normal: np.ndarray | None = None
+
+    @property
+    def packed16(self) -> bool:
+        return self.nk_tumor is not None
 
 
 def _pad_columns(pu: ColumnarPileup, col_idx: np.ndarray, D: int) -> np.ndarray:
@@ -279,12 +295,62 @@ def _pad_columns(pu: ColumnarPileup, col_idx: np.ndarray, D: int) -> np.ndarray:
     return slots
 
 
+def _pad_columns16(
+    pu: ColumnarPileup, col_idx: np.ndarray, ref16: np.ndarray, D: int,
+    cap_mapq: int,
+):
+    """(slots u16[B,D], n_keep i32[B], rms i32[B]) — compact fast-path
+    padding; numpy fallback value-identical to native pileup_pad16."""
+    if pu.owner is not None and hasattr(pu.owner, "pad16"):
+        return pu.owner.pad16(col_idx, ref16, D, cap_mapq)
+    counts = pu.depths[col_idx]
+    starts = pu.offsets[col_idx]
+    B = len(col_idx)
+    rows = np.repeat(np.arange(B, dtype=np.int64), counts)
+    src = np.repeat(starts, counts) + _ragged_arange(counts)
+    s = pu.slots[src].astype(np.uint32)
+    keep = ((s >> 21) & 1) == 0
+    mq = (s & 0xFF).astype(np.int32)
+    q = ((s >> 8) & 0xFF).astype(np.int32)
+    b16 = (s >> 16) & 0xF
+    strand = (s >> 20) & 1
+    code = np.where(b16 != 0, b16, ref16[rows].astype(np.uint32))
+    base2 = np.zeros(len(s), np.uint32)
+    for c16, c4 in ((2, 1), (4, 2), (8, 3)):
+        base2 = np.where(code == c16, c4, base2)
+    eff = np.minimum(q, mq)
+    eff = np.where((eff < 4) & ((q & 0x3F) != 0), 4, eff)
+    val16 = (eff.astype(np.uint32) | (base2 << 8) | (strand << 10))
+
+    # within-column position among keep entries
+    cs = np.cumsum(keep)
+    col_start_idx = np.cumsum(counts) - counts
+    start = np.zeros(B, np.int64)
+    nz = counts > 0
+    first = col_start_idx[nz]
+    start[nz] = cs[first] - keep[first]
+    kpos = (cs - keep) - start[rows]
+
+    out = np.zeros((B, D), np.uint16)
+    m = keep & (kpos < D)
+    out[rows[m], kpos[m]] = val16[m].astype(np.uint16)
+    nk = np.bincount(rows[keep], minlength=B).astype(np.int32)
+    m7 = np.minimum(mq & 0x7F, cap_mapq)
+    rms = np.bincount(
+        rows[keep], weights=(m7 * m7)[keep].astype(np.float64), minlength=B
+    ).astype(np.int32)
+    return out, nk, rms
+
+
 def paired_batches(
     tumor: ColumnarPileup,
     normal: ColumnarPileup,
     max_batch: int = 65536,
     drop_tumor: np.ndarray | None = None,
     drop_normal: np.ndarray | None = None,
+    packed16: bool = False,
+    ref16_fn=None,
+    cap_mapq: int = 60,
 ) -> Iterator[PairedBatch]:
     """Intersect non-empty columns of both samples and yield dense batches
     bucketed by depth (keeps XLA shape variety bounded).
@@ -292,6 +358,10 @@ def paired_batches(
     ``drop_tumor``/``drop_normal``: optional uint8 flags aligned with each
     sample's ``ukeys`` (see pileup.prefilter); a shared column is skipped
     when both samples flag it as provably non-emittable.
+
+    ``packed16``: build compact u16 fast-path batches (requires
+    ``ref16_fn``, a ``keys -> int32[B]`` reference-code lookup used both
+    for '='-base resolution and the batch's ref16 field).
     """
     shared, ti, ni = np.intersect1d(
         tumor.ukeys, normal.ukeys, assume_unique=True, return_indices=True
@@ -308,28 +378,42 @@ def paired_batches(
     bucket_of = np.minimum(bucket_of, len(DEPTH_BUCKETS) - 1)
     oversize = dmax > DEPTH_BUCKETS[-1]
 
+    def _make(sub, D):
+        keys = shared[sub]
+        ref16 = (
+            ref16_fn(keys).astype(np.int32) if ref16_fn is not None
+            else np.zeros(len(sub), np.int32)
+        )
+        kw = {}
+        if packed16:
+            t16, nk_t, rms_t = _pad_columns16(
+                tumor, ti[sub], ref16, D, cap_mapq
+            )
+            n16, nk_n, rms_n = _pad_columns16(
+                normal, ni[sub], ref16, D, cap_mapq
+            )
+            kw = dict(nk_tumor=nk_t, nk_normal=nk_n,
+                      rms_tumor=rms_t, rms_normal=rms_n)
+            pt, pn = t16, n16
+        else:
+            pt = _pad_columns(tumor, ti[sub], D)
+            pn = _pad_columns(normal, ni[sub], D)
+        return PairedBatch(
+            keys=keys,
+            ref16=ref16,
+            tumor=pt,
+            normal=pn,
+            n_tumor=d_t[sub].astype(np.int32),
+            n_normal=d_n[sub].astype(np.int32),
+            **kw,
+        )
+
     for bi in range(len(DEPTH_BUCKETS)):
         mask = (bucket_of == bi) & ~oversize
         idx = np.nonzero(mask)[0]
         D = DEPTH_BUCKETS[bi]
         for s in range(0, len(idx), max_batch):
-            sub = idx[s : s + max_batch]
-            yield PairedBatch(
-                keys=shared[sub],
-                ref16=np.zeros(len(sub), np.int32),
-                tumor=_pad_columns(tumor, ti[sub], D),
-                normal=_pad_columns(normal, ni[sub], D),
-                n_tumor=d_t[sub].astype(np.int32),
-                n_normal=d_n[sub].astype(np.int32),
-            )
+            yield _make(idx[s : s + max_batch], D)
     # oversize columns: one batch each at their own depth
     for i in np.nonzero(oversize)[0]:
-        D = int(dmax[i])
-        yield PairedBatch(
-            keys=shared[i : i + 1],
-            ref16=np.zeros(1, np.int32),
-            tumor=_pad_columns(tumor, ti[i : i + 1], D),
-            normal=_pad_columns(normal, ni[i : i + 1], D),
-            n_tumor=d_t[i : i + 1].astype(np.int32),
-            n_normal=d_n[i : i + 1].astype(np.int32),
-        )
+        yield _make(np.array([i]), int(dmax[i]))

@@ -140,23 +140,51 @@ def _load_pileups(tumor_bam, normal_bam, params):
     return header_t, pu_t, header_n, pu_n
 
 
-def _prefilter_flags(pu_t, pu_n, fasta, header, tabs):
-    """(drop_tumor, drop_normal) pure-ref flags, or (None, None)."""
-    from .pileup.prefilter import build_ref16, prefilter_tables, pure_flags
+def _ref_blob(fasta, header):
+    """Whole-genome 4-bit reference blob, or (None, None) without a ref."""
+    from .pileup.prefilter import build_ref16
 
-    pt = prefilter_tables(tabs)
-    if pt is None or fasta is None:
+    if fasta is None:
         return None, None
-    gmin, margin = pt
     seqs = []
     for name in header.ref_names:
         try:
             seqs.append(fasta.fetch(name) or b"")
         except Exception:
             seqs.append(b"")
-    ref16, ref_off = build_ref16(seqs)
-    ft = pure_flags(pu_t, ref16, ref_off, tabs.fk, gmin, margin)
-    fn = pure_flags(pu_n, ref16, ref_off, tabs.fk, gmin, margin)
+    return build_ref16(seqs)
+
+
+def _make_ref16_fn(ref_blob, ref_off):
+    """keys -> int32[B] reference-code lookup over the blob ('N' = 15 for
+    out-of-range positions, matching _ref_arrays)."""
+    lens = np.diff(ref_off)
+    n_ref = len(lens)
+
+    def fn(keys):
+        tid = (keys >> 40).astype(np.int64)
+        pos = (keys & ((1 << 40) - 1)).astype(np.int64)
+        ok = (tid >= 0) & (tid < n_ref)
+        tid_c = np.clip(tid, 0, max(n_ref - 1, 0))
+        ok &= pos < lens[tid_c]
+        addr = ref_off[tid_c] + np.minimum(
+            pos, np.maximum(lens[tid_c] - 1, 0)
+        )
+        return np.where(ok, ref_blob[addr], 15).astype(np.int32)
+
+    return fn
+
+
+def _prefilter_flags(pu_t, pu_n, ref_blob, ref_off, tabs):
+    """(drop_tumor, drop_normal) pure-ref flags, or (None, None)."""
+    from .pileup.prefilter import prefilter_tables, pure_flags
+
+    pt = prefilter_tables(tabs)
+    if pt is None or ref_blob is None:
+        return None, None
+    gmin, margin = pt
+    ft = pure_flags(pu_t, ref_blob, ref_off, tabs.fk, gmin, margin)
+    fn = pure_flags(pu_n, ref_blob, ref_off, tabs.fk, gmin, margin)
     return ft, fn
 
 
@@ -176,16 +204,25 @@ def call_pair(
     fasta = FastaFile(ref_fasta) if ref_fasta else None
     refcache = RefCache(fasta, header_t)
     tabs = build_tables(params)
+    ref_blob, ref_off = _ref_blob(fasta, header_t)
     drop_t = drop_n = None
     if prefilter:
-        drop_t, drop_n = _prefilter_flags(pu_t, pu_n, fasta, header_t, tabs)
+        drop_t, drop_n = _prefilter_flags(
+            pu_t, pu_n, ref_blob, ref_off, tabs
+        )
+    # fast path ships compact u16 batches (half the accelerator-link
+    # bytes); the exact path needs the full u32 slots
+    packed16 = precision == "fast" and ref_blob is not None
+    ref16_fn = _make_ref16_fn(ref_blob, ref_off) if packed16 else None
 
     dtabs = DeviceTables(tabs, precision)
     # submit all batches first (async dispatch overlaps device compute and
     # transfers with host-side padding of later batches), collect after
     pending = []
     for batch in paired_batches(pu_t, pu_n, max_batch=max_batch,
-                                drop_tumor=drop_t, drop_normal=drop_n):
+                                drop_tumor=drop_t, drop_normal=drop_n,
+                                packed16=packed16, ref16_fn=ref16_fn,
+                                cap_mapq=params.cap_mapq):
         chars, ref16 = _ref_arrays(batch, refcache)
         dev_res, b0 = submit_call_batch(
             batch, ref16, chars, dtabs, precision, compact=True
@@ -260,18 +297,32 @@ def submit_call_batch(
     stacked = jnp.asarray(
         np.stack([_pad_b(batch.tumor, B), _pad_b(batch.normal, B)])
     )
-    meta = jnp.asarray(np.stack([
+    meta_rows = [
         _pad_b(batch.n_tumor, B),
         _pad_b(batch.n_normal, B),
         _pad_b(ref16, B),
-    ]))
+    ]
+    if batch.packed16:
+        meta_rows += [
+            _pad_b(batch.nk_tumor, B), _pad_b(batch.nk_normal, B),
+            _pad_b(batch.rms_tumor, B), _pad_b(batch.rms_normal, B),
+        ]
+    meta = jnp.asarray(np.stack(meta_rows))
     fn = call_batch_compact if compact else call_batch
     kwargs = {}
     if compact:
         kwargs["max_emit"] = min(B, 16384)
+    if batch.packed16:
+        cb_t = ColumnBatch(slots=stacked[0], depth=meta[0], ref16=meta[2],
+                           n_keep=meta[3], rms_sum=meta[5])
+        cb_n = ColumnBatch(slots=stacked[1], depth=meta[1], ref16=meta[2],
+                           n_keep=meta[4], rms_sum=meta[6])
+    else:
+        cb_t = ColumnBatch(slots=stacked[0], depth=meta[0], ref16=meta[2])
+        cb_n = ColumnBatch(slots=stacked[1], depth=meta[1], ref16=meta[2])
     res = fn(
-        ColumnBatch(slots=stacked[0], depth=meta[0], ref16=meta[2]),
-        ColumnBatch(slots=stacked[1], depth=meta[1], ref16=meta[2]),
+        cb_t,
+        cb_n,
         dtabs.fk,
         dtabs.coef,
         dtabs.lhet,

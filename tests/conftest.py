@@ -1,8 +1,14 @@
 import os
 
 # Force the CPU backend with a virtual 8-device mesh for sharding tests,
-# and x64 for the exact-precision model path.  Must run before jax imports.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# and x64 for the exact-precision model path.  Must run before jax inits.
+# The env var alone is NOT enough on dev machines with a tunneled TPU:
+# their sitecustomize registers the accelerator plugin at interpreter
+# startup and overrides JAX_PLATFORMS, silently moving the whole suite
+# onto the accelerator — the config API below wins over that.
+# SNIPER_TEST_PLATFORM overrides (e.g. "axon" to run the suite on TPU).
+_platform = os.environ.get("SNIPER_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -11,6 +17,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", _platform)
 jax.config.update("jax_enable_x64", True)
 
 from pathlib import Path  # noqa: E402
