@@ -76,6 +76,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shard-index", type=int, default=None,
                    help="process only this shard (deterministic interval "
                         "partition); omit to process all shards locally")
+    p.add_argument("--window-size", type=int, default=2_000_000,
+                   help="genome window length for the region-sharded "
+                        "streaming driver [2000000]")
+    p.add_argument("--manifest", default=None, metavar="FILE",
+                   help="per-window completion manifest; enables the "
+                        "streaming driver and crash-resumable runs "
+                        "(re-running with the same manifest skips "
+                        "completed windows)")
     p.add_argument("tumor_bam", nargs="?")
     p.add_argument("normal_bam", nargs="?")
     p.add_argument("output", nargs="?")
@@ -135,20 +143,54 @@ def main(argv=None) -> int:
     print(f"Normal bam is {args.normal_bam}", file=sys.stderr)
     print(f"Tumor bam is {args.tumor_bam}", file=sys.stderr)
 
-    from ..runner import call_pair
-
     header_fn, record_fn = get_formatter(args.format)
-    with open(args.output, "w") as fh:
-        header_fn(fh, HeaderData(
-            refseq=args.ref,
-            normal_sample_id=args.normal_id,
-            tumor_sample_id=args.tumor_id,
-        ))
-        for rec in call_pair(
+    hdata = HeaderData(
+        refseq=args.ref,
+        normal_sample_id=args.normal_id,
+        tumor_sample_id=args.tumor_id,
+    )
+    use_sharded = (
+        args.shards > 1 or args.shard_index is not None
+        or args.manifest is not None
+    )
+    if not use_sharded:
+        from ..runner import call_pair
+
+        with open(args.output, "w") as fh:
+            header_fn(fh, hdata)
+            for rec in call_pair(
+                args.tumor_bam, args.normal_bam, args.ref,
+                params=params, precision=args.precision,
+            ):
+                record_fn(fh, rec)
+        return 0
+
+    # region-sharded streaming driver with optional per-window resume
+    from ..parallel.sharded import Manifest, call_pair_windows
+
+    manifest = Manifest(args.manifest) if args.manifest else None
+    resume_at = manifest.resume_offset() if manifest else None
+    skip = set(manifest.done) if manifest else None
+    mode = "r+" if (resume_at is not None and
+                    os.path.exists(args.output)) else "w"
+    with open(args.output, mode) as fh:
+        if mode == "r+":
+            fh.seek(resume_at)
+            fh.truncate()
+        else:
+            header_fn(fh, hdata)
+        for wi, _win, records in call_pair_windows(
             args.tumor_bam, args.normal_bam, args.ref,
             params=params, precision=args.precision,
+            window_size=args.window_size,
+            shards=args.shards, shard_index=args.shard_index,
+            skip_windows=skip,
         ):
-            record_fn(fh, rec)
+            for rec in records:
+                record_fn(fh, rec)
+            fh.flush()
+            if manifest:
+                manifest.mark(wi, fh.tell())
     return 0
 
 

@@ -194,5 +194,49 @@ def decode_bam(data: bytes) -> tuple[BamHeader, BamReads]:
     )
 
 
+def read_bam_header(path: str | Path) -> BamHeader:
+    """Parse only the BAM header (inflates just enough leading BGZF
+    blocks) — used by the region-sharded driver, which never touches the
+    record stream of blocks outside its windows."""
+    import gzip
+    import struct
+
+    from .bgzf import scan_blocks
+
+    raw = Path(path).read_bytes()
+    blocks = scan_blocks(raw)
+    data = b""
+    bi = 0
+
+    def need(n):
+        nonlocal data, bi
+        while len(data) < n and bi < len(blocks):
+            off, size = blocks[bi]
+            data += gzip.decompress(raw[off : off + size])
+            bi += 1
+        if len(data) < n:
+            raise ValueError(f"{path}: truncated BAM header")
+
+    need(12)
+    if data[:4] != BAM_MAGIC:
+        raise ValueError(f"{path}: not a BAM file")
+    (l_text,) = struct.unpack_from("<i", data, 4)
+    need(8 + l_text + 4)
+    text = data[8 : 8 + l_text].split(b"\x00")[0].decode()
+    p = 8 + l_text
+    (n_ref,) = struct.unpack_from("<i", data, p)
+    p += 4
+    names, lengths = [], []
+    for _ in range(n_ref):
+        need(p + 4)
+        (l_name,) = struct.unpack_from("<i", data, p)
+        need(p + 8 + l_name)
+        names.append(data[p + 4 : p + 4 + l_name - 1].decode())
+        (ln,) = struct.unpack_from("<i", data, p + 4 + l_name)
+        lengths.append(ln)
+        p += 8 + l_name
+    return BamHeader(text=text, ref_names=names, ref_lengths=lengths)
+
+
 def read_bam(path: str | Path) -> tuple[BamHeader, BamReads]:
     return decode_bam(decompress_file(path))

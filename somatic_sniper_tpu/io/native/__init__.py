@@ -95,6 +95,23 @@ def get_lib():
             ctypes.POINTER(NativeBamStruct), ctypes.c_int, ctypes.c_int,
         ]
         lib.pileup_destroy.argtypes = [ctypes.POINTER(NativePileupStruct)]
+        lib.bam_load_region.restype = ctypes.POINTER(NativeBamStruct)
+        lib.bam_load_region.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int,
+        ]
+        lib.pileup_build_window.restype = ctypes.POINTER(NativePileupStruct)
+        lib.pileup_build_window.argtypes = [
+            ctypes.POINTER(NativeBamStruct), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.region_last_kept_start.restype = ctypes.c_int64
+        lib.region_last_kept_start.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
         lib.pileup_pad.argtypes = [
             ctypes.POINTER(NativePileupStruct),
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,

@@ -333,6 +333,198 @@ void bam_destroy(NativeBam* nb) {
     delete nb;
 }
 
+namespace {
+
+// Decode one raw BAM alignment record into the columnar storage.
+static void decode_record(BamStorage* st, const uint8_t* r) {
+    int32_t tid = rd_i32(r + 0);
+    int32_t pos = rd_i32(r + 4);
+    uint8_t l_read_name = r[8];
+    uint8_t mapq = r[9];
+    uint16_t n_cigar = rd_u16(r + 12);
+    uint16_t flag = rd_u16(r + 14);
+    int32_t l_seq = rd_i32(r + 16);
+    st->tid.push_back(tid);
+    st->pos.push_back(pos);
+    st->mapq.push_back(mapq);
+    st->n_cigar.push_back(n_cigar);
+    st->flag.push_back(flag);
+    st->l_qseq.push_back(l_seq);
+    const uint8_t* cg = r + 32 + l_read_name;
+    for (int k = 0; k < n_cigar; ++k)
+        st->cigar.push_back(rd_u32(cg + 4 * k));
+    st->cigar_off.push_back((int64_t)st->cigar.size());
+    const uint8_t* sq = cg + 4 * n_cigar;
+    for (int32_t k = 0; k < l_seq; ++k) {
+        uint8_t byte = sq[k / 2];
+        st->seq.push_back(k % 2 ? (byte & 0xF) : (byte >> 4));
+    }
+    const uint8_t* qu = sq + (l_seq + 1) / 2;
+    st->qual.insert(st->qual.end(), qu, qu + l_seq);
+    st->seq_off.push_back((int64_t)st->seq.size());
+}
+
+static NativeBam* finish_bam(BamStorage* st) {
+    st->cigar_off.insert(st->cigar_off.begin(), 0);
+    st->seq_off.insert(st->seq_off.begin(), 0);
+    auto* nb = new NativeBam();
+    nb->n_reads = (int64_t)st->tid.size();
+    nb->n_cigar_total = (int64_t)st->cigar.size();
+    nb->n_seq_total = (int64_t)st->seq.size();
+    nb->tid = st->tid.data();
+    nb->pos = st->pos.data();
+    nb->flag = st->flag.data();
+    nb->mapq = st->mapq.data();
+    nb->n_cigar = st->n_cigar.data();
+    nb->l_qseq = st->l_qseq.data();
+    nb->cigar = st->cigar.data();
+    nb->cigar_off = st->cigar_off.data();
+    nb->seq = st->seq.data();
+    nb->qual = st->qual.data();
+    nb->seq_off = st->seq_off.data();
+    nb->text = const_cast<char*>(st->text.c_str());
+    nb->n_ref = st->n_ref;
+    nb->ref_len = st->ref_len.data();
+    nb->ref_names = const_cast<char*>(st->ref_names.data());
+    nb->ref_names_len = (int64_t)st->ref_names.size();
+    nb->_storage = st;
+    return nb;
+}
+
+static int64_t rec_ref_span(const uint8_t* r) {
+    uint8_t l_read_name = r[8];
+    uint16_t n_cigar = rd_u16(r + 12);
+    const uint8_t* cg = r + 32 + l_read_name;
+    int64_t span = 0;
+    for (int k = 0; k < n_cigar; ++k) {
+        uint32_t c = rd_u32(cg + 4 * k);
+        uint32_t op = c & 0xF;
+        if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+            span += c >> 4;
+    }
+    return span > 0 ? span : 1;
+}
+
+}  // namespace
+
+// Region load via BAI virtual-offset chunks (region sharding path; the
+// reference streams whole files — SURVEY.md §2.2 calls out that sharded
+// readers need the index).  ``chunks`` is a flattened [n_chunks, 2] i64
+// array of merged (vbeg, vend) virtual offsets from the Python BAI
+// layer; only those compressed byte ranges are read and inflated.
+// Returns reads of ``tid`` overlapping [beg, end) — no header fields.
+NativeBam* bam_load_region(const char* path, const int64_t* chunks,
+                           int64_t n_chunks, int32_t tid, int64_t beg,
+                           int64_t end, int n_threads) {
+    FILE* f = fopen(path, "rb");
+    if (!f) {
+        g_err = std::string("cannot read ") + path;
+        return nullptr;
+    }
+    auto* st = new BamStorage();
+    std::vector<uint8_t> carry;  // record bytes spanning a chunk boundary
+    for (int64_t ci = 0; ci < n_chunks; ++ci) {
+        int64_t vbeg = chunks[2 * ci], vend = chunks[2 * ci + 1];
+        int64_t c_beg = vbeg >> 16, c_end = vend >> 16;
+        int32_t u_beg = (int32_t)(vbeg & 0xFFFF);
+        int32_t u_end = (int32_t)(vend & 0xFFFF);
+        // read the compressed span [c_beg, c_end (+ last block)]
+        fseek(f, c_beg, SEEK_SET);
+        std::vector<uint8_t> comp;
+        std::vector<uint8_t> buf;
+        int64_t last_block_usize = 0;
+        {
+            // scan block headers forward from c_beg; a vend with
+            // u_end == 0 ends at the *start* of block c_end, which is
+            // then not needed at all
+            int64_t off = c_beg;
+            int64_t last_needed = u_end > 0 ? c_end : c_end - 1;
+            std::vector<BgzfBlock> blocks;
+            int64_t total = 0;
+            while (off <= last_needed) {
+                uint8_t hdr[12];  // gzip fixed header incl. XLEN
+                if (fread(hdr, 1, 12, f) != 12) break;
+                uint16_t xlen = rd_u16(hdr + 10);
+                std::vector<uint8_t> extra(xlen);
+                if (fread(extra.data(), 1, xlen, f) != xlen) break;
+                int bsize = -1;
+                int64_t ep = 0;
+                while (ep + 4 <= (int64_t)xlen) {
+                    if (extra[ep] == 'B' && extra[ep + 1] == 'C' &&
+                        rd_u16(&extra[ep + 2]) == 2)
+                        bsize = rd_u16(&extra[ep + 4]) + 1;
+                    ep += 4 + rd_u16(&extra[ep + 2]);
+                }
+                if (bsize < 0) break;
+                int32_t comp_size = bsize - (int32_t)(12 + xlen) - 8;
+                int64_t payload = off + 12 + xlen;
+                size_t base = comp.size();
+                comp.resize(base + comp_size + 8);
+                if (fread(comp.data() + base, 1, comp_size + 8, f) !=
+                    (size_t)(comp_size + 8))
+                    break;
+                int32_t isize =
+                    (int32_t)rd_u32(comp.data() + base + comp_size + 4);
+                blocks.push_back({(int64_t)base, comp_size, total, isize});
+                total += isize;
+                if (off == c_end) last_block_usize = isize;
+                off += bsize;
+                (void)payload;
+            }
+            buf.resize(total);
+            std::atomic<size_t> next(0);
+            std::atomic<bool> ok(true);
+            auto worker = [&]() {
+                for (;;) {
+                    size_t i = next.fetch_add(1);
+                    if (i >= blocks.size()) break;
+                    const BgzfBlock& b = blocks[i];
+                    if (b.out_size == 0) continue;
+                    if (!inflate_block(&comp[b.in_off], b.in_size,
+                                       &buf[b.out_off], b.out_size))
+                        ok.store(false);
+                }
+            };
+            std::vector<std::thread> ts;
+            if (n_threads < 1) n_threads = 1;
+            for (int t = 1; t < n_threads && (size_t)t < blocks.size(); ++t)
+                ts.emplace_back(worker);
+            worker();
+            for (auto& t : ts) t.join();
+            if (!ok.load()) {
+                g_err = "BGZF inflate failure (region)";
+                delete st;
+                fclose(f);
+                return nullptr;
+            }
+        }
+        // decode records in [u_beg, end-of-buf minus trailing cut)
+        int64_t p = u_beg;
+        int64_t n = (int64_t)buf.size();
+        // the chunk may end inside the last block at u_end
+        int64_t stop = n;
+        if (u_end > 0 && last_block_usize > 0)
+            stop = n - last_block_usize + u_end;
+        else if (u_end > 0 && c_beg == c_end)
+            stop = u_end;
+        while (p + 4 <= stop) {
+            int32_t bs = rd_i32(&buf[p]);
+            if (p + 4 + bs > n) break;  // record clipped by chunk end
+            const uint8_t* r = &buf[p + 4];
+            int32_t rtid = rd_i32(r + 0);
+            int64_t rpos = rd_i32(r + 4);
+            if (rtid == tid && rpos < end &&
+                rpos + rec_ref_span(r) > beg)
+                decode_record(st, r);
+            if (rtid > tid || (rtid == tid && rpos >= end)) break;
+            p += 4 + bs;
+        }
+    }
+    fclose(f);
+    (void)carry;
+    return finish_bam(st);
+}
+
 // CIGAR ops (vendor bam.h:128-148); samtools-0.1.6 ignores '='/'X'.
 enum { CMATCH = 0, CINS = 1, CDEL = 2, CREF_SKIP = 3, CSOFT = 4 };
 
@@ -346,8 +538,10 @@ static int64_t read_end(const NativeBam* nb, int64_t r) {
     return end;
 }
 
-NativePileup* pileup_build(const NativeBam* nb, int flag_mask,
-                           int mapq_thresh) {
+static NativePileup* pileup_build_impl(const NativeBam* nb, int flag_mask,
+                                       int mapq_thresh, int64_t wbeg,
+                                       int64_t wend,
+                                       int64_t drop_first_end_le) {
     const int fmask = flag_mask | 0x4;  // BAM_FUNMAP always filtered
     auto* st = new PileupStorage();
 
@@ -358,6 +552,13 @@ NativePileup* pileup_build(const NativeBam* nb, int flag_mask,
         if ((nb->flag[r] & fmask) == 0 && nb->mapq[r] >= mapq_thresh)
             ridx.push_back(r);
     }
+    // cross-shard quirk carry: a windowed (region-sharded) load of a
+    // contig start replicates the transition drop below by passing the
+    // previous contig's last kept-read start (see sniper_pileup.c:216)
+    if (drop_first_end_le >= 0 && !ridx.empty() &&
+        read_end(nb, ridx[0]) <= drop_first_end_le)
+        ridx.erase(ridx.begin());
+
     // drop the first filter-passing read of each subsequent contig when
     // its end precedes the previous contig's last read start
     // (reference sniper_pileup.c:216)
@@ -396,7 +597,17 @@ NativePileup* pileup_build(const NativeBam* nb, int flag_mask,
             if (e > max_end) max_end = e;
             ++i1;
         }
-        diff.assign((size_t)max_end + 1, 0u);
+        // window clip: columns restricted to [wbeg, wend) — reads
+        // overlapping the boundary contribute only their in-window
+        // columns (halo handling for region sharding)
+        const int64_t lo = wbeg > 0 ? wbeg : 0;
+        const int64_t hi = wend >= 0 && wend < max_end ? wend : max_end;
+        if (hi <= lo) {
+            i0 = i1;
+            continue;
+        }
+        const int64_t span = hi - lo;
+        diff.assign((size_t)span + 1, 0u);
 
         // (a) coverage diffs per M/D run
         for (size_t k = i0; k < i1; ++k) {
@@ -407,8 +618,12 @@ NativePileup* pileup_build(const NativeBam* nb, int flag_mask,
                 uint32_t op = nb->cigar[c] & 0xF;
                 int64_t l = nb->cigar[c] >> 4;
                 if (op == CMATCH || op == CDEL) {
-                    ++diff[x];
-                    --diff[x + l];  // x+l <= max_end by construction
+                    int64_t a = x > lo ? x : lo;
+                    int64_t b = x + l < hi ? x + l : hi;
+                    if (b > a) {
+                        ++diff[a - lo];
+                        --diff[b - lo];
+                    }
                     x += l;
                 } else if (op == CREF_SKIP) {
                     x += l;
@@ -421,11 +636,11 @@ NativePileup* pileup_build(const NativeBam* nb, int flag_mask,
         const int64_t key_hi = ((int64_t)tid) << 40;
         uint32_t depth = 0;
         uint32_t excl = 0;
-        for (int64_t p = 0; p < max_end; ++p) {
+        for (int64_t p = 0; p < span; ++p) {
             depth += diff[p];
             diff[p] = excl;  // repurpose as scatter cursor
             if (depth > 0) {
-                st->ukeys.push_back(key_hi | p);
+                st->ukeys.push_back(key_hi | (p + lo));
                 st->offsets.push_back(base + excl);
                 excl += depth;
             }
@@ -447,10 +662,12 @@ NativePileup* pileup_build(const NativeBam* nb, int flag_mask,
                 uint32_t op = nb->cigar[c] & 0xF;
                 int64_t l = nb->cigar[c] >> 4;
                 if (op == CMATCH) {
-                    for (int64_t i = 0; i < l; ++i) {
-                        int64_t qp = y + i;
+                    int64_t a = x > lo ? x : lo;
+                    int64_t b = x + l < hi ? x + l : hi;
+                    for (int64_t px = a; px < b; ++px) {
+                        int64_t qp = y + (px - x);
                         if (qp > max_q) qp = max_q;
-                        out[diff[x + i]++] =
+                        out[diff[px - lo]++] =
                             mq | ((uint32_t)nb->qual[so + qp] << 8) |
                             ((uint32_t)nb->seq[so + qp] << 16) |
                             (strand << 20);
@@ -458,8 +675,11 @@ NativePileup* pileup_build(const NativeBam* nb, int flag_mask,
                     x += l;
                     y += l;
                 } else if (op == CDEL) {
-                    for (int64_t i = 0; i < l; ++i)
-                        out[diff[x + i]++] = mq | (strand << 20) | (1u << 21);
+                    int64_t a = x > lo ? x : lo;
+                    int64_t b = x + l < hi ? x + l : hi;
+                    for (int64_t px = a; px < b; ++px)
+                        out[diff[px - lo]++] =
+                            mq | (strand << 20) | (1u << 21);
                     x += l;
                 } else if (op == CREF_SKIP) {
                     x += l;
@@ -483,6 +703,21 @@ NativePileup* pileup_build(const NativeBam* nb, int flag_mask,
     np->offsets = st->offsets.data();
     np->_storage = st;
     return np;
+}
+
+NativePileup* pileup_build(const NativeBam* nb, int flag_mask,
+                           int mapq_thresh) {
+    return pileup_build_impl(nb, flag_mask, mapq_thresh, -1, -1, -1);
+}
+
+// Windowed build: columns clipped to [wbeg, wend) (wend < 0 = no limit).
+// ``drop_first_end_le`` >= 0 applies the contig-transition drop quirk
+// against that carried-in previous-contig read start.
+NativePileup* pileup_build_window(const NativeBam* nb, int flag_mask,
+                                  int mapq_thresh, int64_t wbeg,
+                                  int64_t wend, int64_t drop_first_end_le) {
+    return pileup_build_impl(nb, flag_mask, mapq_thresh, wbeg, wend,
+                             drop_first_end_le);
 }
 
 void pileup_destroy(NativePileup* np) {
@@ -551,6 +786,28 @@ void pileup_flags(const NativePileup* np, const uint8_t* ref16,
         if (pure && m >= 1 && L + gmin[m <= 255 ? m : 254] >= margin)
             out[c] = 1;
     }
+}
+
+// Max start position of filter-passing reads in the given region, or -1
+// (-2 on IO error).  The sharded driver uses it to carry the
+// contig-transition drop quirk (reference sniper_pileup.c:216) across
+// shard boundaries: the first kept read of a contig is dropped when its
+// end precedes the previous contig's last kept-read start.
+int64_t region_last_kept_start(const char* path, const int64_t* chunks,
+                               int64_t n_chunks, int32_t tid, int64_t beg,
+                               int64_t end, int flag_mask, int mapq_thresh,
+                               int n_threads) {
+    NativeBam* nb =
+        bam_load_region(path, chunks, n_chunks, tid, beg, end, n_threads);
+    if (!nb) return -2;
+    const int fmask = flag_mask | 0x4;
+    int64_t last = -1;
+    for (int64_t r = 0; r < nb->n_reads; ++r)
+        if ((nb->flag[r] & fmask) == 0 && nb->mapq[r] >= mapq_thresh &&
+            (int64_t)nb->pos[r] > last)
+            last = nb->pos[r];
+    bam_destroy(nb);
+    return last;
 }
 
 // Dense padding: scatter selected columns' slots into a [B, D] array

@@ -77,6 +77,66 @@ def load_and_columnize(
     return header, pileup
 
 
+def _wrap_pileup(lib, np_ptr) -> ColumnarPileup:
+    owner = _PileupHandle(lib, np_ptr)
+    pc = np_ptr.contents
+    ne, nc = pc.n_entries, pc.n_cols
+    if nc == 0:
+        return ColumnarPileup(
+            keys=None, slots=np.zeros(0, np.uint32),
+            ukeys=np.zeros(0, np.int64), offsets=np.zeros(1, np.int64),
+            owner=owner,
+        )
+    return ColumnarPileup(
+        keys=None,
+        slots=np.ctypeslib.as_array(pc.slots, shape=(ne,)),
+        ukeys=np.ctypeslib.as_array(pc.ukeys, shape=(nc,)),
+        offsets=np.ctypeslib.as_array(pc.offsets, shape=(nc + 1,)),
+        owner=owner,
+    )
+
+
+def load_region_and_columnize(
+    path: str,
+    chunks: np.ndarray,
+    tid: int,
+    beg: int,
+    end: int,
+    flag_mask: int = BAM_DEF_MASK,
+    mapq_thresh: int = 0,
+    n_threads: int | None = None,
+    drop_first_end_le: int = -1,
+) -> ColumnarPileup:
+    """Index-based region load + windowed pileup (region sharding path).
+
+    ``chunks``: [n, 2] int64 merged virtual-offset spans from
+    io.bai.region_chunks.  Columns are clipped to [beg, end) so shard
+    outputs concatenate without overlap (owner-computes per column).
+    ``drop_first_end_le``: carried previous-contig last-read start for
+    the contig-transition drop quirk (windows starting at position 0 of
+    a non-first contig; reference sniper_pileup.c:216).
+    """
+    lib = native.get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    ch = np.ascontiguousarray(np.asarray(chunks, np.int64).reshape(-1, 2))
+    nb = lib.bam_load_region(
+        path.encode(),
+        ch.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(ch), tid, beg, end, n_threads or _default_threads(),
+    )
+    if not nb:
+        raise IOError(f"{path}: {lib.sniper_last_error().decode()}")
+    try:
+        np_ = lib.pileup_build_window(nb, flag_mask, mapq_thresh, beg, end,
+                                      drop_first_end_le)
+        if not np_:
+            raise IOError(f"{path}: windowed pileup build failed")
+        return _wrap_pileup(lib, np_)
+    finally:
+        lib.bam_destroy(nb)
+
+
 class _PileupHandle:
     """Owns a NativePileup; frees it on GC; provides native dense padding."""
 

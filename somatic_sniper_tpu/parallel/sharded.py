@@ -1,0 +1,218 @@
+"""Region-sharded streaming driver.
+
+The reference streams both BAMs whole, single-threaded (SURVEY.md §0);
+this driver instead cuts the genome into deterministic windows, seeks
+each window via the BAI index, and runs the same batched device pipeline
+per window — constant memory at WGS scale, shardable across processes /
+hosts, and resumable per window.
+
+Output-equality contract: the concatenation of all windows' records (in
+window order) is byte-identical to the whole-file run.  The one
+cross-window dependency is the reference's contig-transition drop quirk
+(sniper_pileup.c:216): the first kept read of a contig is dropped when
+its end precedes the previous contig's last kept-read start, which a
+window at a contig start cannot see locally — so the driver carries that
+value in via ``region_last_kept_start``.
+
+Windows must be longer than the longest read (columns of a quirk-dropped
+read must all fall in the contig's first window); the default 2 Mb is
+4 orders of magnitude above short-read lengths.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Iterator
+
+import numpy as np
+
+from ..io import bai, native, native_api
+from ..io.bam import BamHeader, read_bam_header
+from ..io.fasta import FastaFile
+from ..models.tables import ModelParams, build_tables
+from ..output.records import SniperRecord
+
+DEFAULT_WINDOW = 2_000_000
+
+
+def genome_windows(
+    ref_lengths: list[int], window_size: int = DEFAULT_WINDOW
+) -> list[tuple[int, int, int]]:
+    """Deterministic (tid, beg, end) windows covering the genome."""
+    out = []
+    for tid, ln in enumerate(ref_lengths):
+        beg = 0
+        while beg < ln:
+            out.append((tid, beg, min(beg + window_size, ln)))
+            beg += window_size
+    return out
+
+
+def shard_windows(windows, shards: int, shard_index: int | None):
+    """Contiguous split of the window list across shards (keeps each
+    shard's output a contiguous genome span, so shard outputs
+    concatenate in shard order)."""
+    if shard_index is None:
+        return list(windows)
+    n = len(windows)
+    lo = shard_index * n // shards
+    hi = (shard_index + 1) * n // shards
+    return list(windows[lo:hi])
+
+
+class _QuirkCarry:
+    """Per-file carried previous-contig last kept-read start values."""
+
+    def __init__(self, bam_path: str, index: bai.BaiIndex, header: BamHeader,
+                 flag_mask: int, mapq_thresh: int):
+        self.path = bam_path
+        self.index = index
+        self.header = header
+        self.flag_mask = flag_mask
+        self.mapq_thresh = mapq_thresh
+
+    def for_window(self, tid: int, beg: int) -> int:
+        """drop_first_end_le for a window, or -1 when not applicable."""
+        if beg != 0 or tid == 0:
+            return -1
+        lib = native.get_lib()
+        # previous contig with any indexed reads
+        for p in range(tid - 1, -1, -1):
+            if self.index.refs[p].bins:
+                break
+        else:
+            return -1
+        plen = self.header.ref_lengths[p]
+        look = 1 << 15
+        while True:
+            beg_p = max(0, plen - look)
+            chunks = bai.region_chunks(self.index, p, beg_p, plen)
+            if chunks:
+                ch = np.ascontiguousarray(
+                    np.asarray(chunks, np.int64).reshape(-1, 2)
+                )
+                import ctypes
+
+                last = lib.region_last_kept_start(
+                    self.path.encode(),
+                    ch.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    len(ch), p, beg_p, plen,
+                    self.flag_mask, self.mapq_thresh, 2,
+                )
+                if last >= 0:
+                    return int(last)
+            if beg_p == 0:
+                return -1
+            look *= 4
+
+
+def call_pair_windows(
+    tumor_bam: str,
+    normal_bam: str,
+    ref_fasta: str | None,
+    params: ModelParams = ModelParams(),
+    precision: str = "exact",
+    max_batch: int = 65536,
+    prefilter: bool = True,
+    window_size: int = DEFAULT_WINDOW,
+    shards: int = 1,
+    shard_index: int | None = None,
+    skip_windows: set[int] | None = None,
+) -> Iterator[tuple[int, tuple[int, int, int], list[SniperRecord]]]:
+    """Yield (window_index, window, records) per genome window.
+
+    Window indices are global (stable across shard counts) so resume
+    manifests and multi-shard merges agree on numbering.
+    """
+    from ..runner import (
+        DeviceTables,
+        RefCache,
+        _make_ref16_fn,
+        _prefilter_flags,
+        _ref_arrays,
+        _ref_blob,
+        collect_pending,
+        submit_batches,
+    )
+
+    header = read_bam_header(tumor_bam)
+    idx_t = bai.ensure_index(tumor_bam)
+    idx_n = bai.ensure_index(normal_bam)
+    windows = genome_windows(header.ref_lengths, window_size)
+    mine = shard_windows(list(enumerate(windows)), shards, shard_index)
+
+    fasta = FastaFile(ref_fasta) if ref_fasta else None
+    refcache = RefCache(fasta, header)
+    tabs = build_tables(params)
+    ref_blob, ref_off = _ref_blob(fasta, header)
+    packed16 = precision == "fast" and ref_blob is not None
+    ref16_fn = _make_ref16_fn(ref_blob, ref_off) if packed16 else None
+    dtabs = DeviceTables(tabs, precision)
+
+    carry_t = _QuirkCarry(tumor_bam, idx_t, header,
+                          params.flag_mask, params.mapq_threshold)
+    carry_n = _QuirkCarry(normal_bam, idx_n, header,
+                          params.flag_mask, params.mapq_threshold)
+
+    for wi, (tid, beg, end) in mine:
+        if skip_windows and wi in skip_windows:
+            continue
+        pu_t = native_api.load_region_and_columnize(
+            tumor_bam, np.asarray(bai.region_chunks(idx_t, tid, beg, end)),
+            tid, beg, end, params.flag_mask, params.mapq_threshold,
+            drop_first_end_le=carry_t.for_window(tid, beg),
+        )
+        pu_n = native_api.load_region_and_columnize(
+            normal_bam, np.asarray(bai.region_chunks(idx_n, tid, beg, end)),
+            tid, beg, end, params.flag_mask, params.mapq_threshold,
+            drop_first_end_le=carry_n.for_window(tid, beg),
+        )
+        drop_t = drop_n = None
+        if prefilter:
+            drop_t, drop_n = _prefilter_flags(
+                pu_t, pu_n, ref_blob, ref_off, tabs
+            )
+        pending = submit_batches(
+            pu_t, pu_n, refcache, dtabs, precision, max_batch,
+            drop_t, drop_n, packed16, ref16_fn, params.cap_mapq,
+        )
+        records = collect_pending(
+            pending, pu_t, pu_n, refcache, dtabs, precision
+        )
+        yield wi, (tid, beg, end), [r for _, r in records]
+
+
+def call_pair_sharded(*args, **kwargs) -> Iterator[SniperRecord]:
+    """Flattened record stream over :func:`call_pair_windows`."""
+    for _, _, records in call_pair_windows(*args, **kwargs):
+        yield from records
+
+
+class Manifest:
+    """Append-only per-window completion log for resumable runs.
+
+    Each line: {"window": i, "offset": byte offset of the output file
+    AFTER the window's records were flushed}.  On resume, the driver
+    truncates the output to the last completed offset and skips the
+    recorded windows — a crashed run loses at most one window.
+    """
+
+    def __init__(self, path: str | Path):
+        self.path = Path(path)
+        self.done: dict[int, int] = {}
+        if self.path.exists():
+            for ln in self.path.read_text().splitlines():
+                try:
+                    d = json.loads(ln)
+                    self.done[int(d["window"])] = int(d["offset"])
+                except (ValueError, KeyError):
+                    continue
+
+    def resume_offset(self) -> int | None:
+        return max(self.done.values()) if self.done else None
+
+    def mark(self, window: int, offset: int) -> None:
+        self.done[window] = offset
+        with open(self.path, "a") as fh:
+            fh.write(json.dumps({"window": window, "offset": offset}) + "\n")

@@ -216,19 +216,42 @@ def call_pair(
     ref16_fn = _make_ref16_fn(ref_blob, ref_off) if packed16 else None
 
     dtabs = DeviceTables(tabs, precision)
-    # submit all batches first (async dispatch overlaps device compute and
-    # transfers with host-side padding of later batches), collect after
+    pending = submit_batches(
+        pu_t, pu_n, refcache, dtabs, precision, max_batch,
+        drop_t, drop_n, packed16, ref16_fn, params.cap_mapq,
+    )
+    records = collect_pending(
+        pending, pu_t, pu_n, refcache, dtabs, precision
+    )
+    for _, rec in records:
+        yield rec
+
+
+def submit_batches(
+    pu_t, pu_n, refcache, dtabs, precision, max_batch,
+    drop_t, drop_n, packed16, ref16_fn, cap_mapq,
+):
+    """Dispatch every paired batch to the device (async); returns the
+    pending list for collect_pending.  Submitting everything before
+    collecting overlaps device compute/transfers with host-side padding
+    of later batches."""
     pending = []
     for batch in paired_batches(pu_t, pu_n, max_batch=max_batch,
                                 drop_tumor=drop_t, drop_normal=drop_n,
                                 packed16=packed16, ref16_fn=ref16_fn,
-                                cap_mapq=params.cap_mapq):
+                                cap_mapq=cap_mapq):
         chars, ref16 = _ref_arrays(batch, refcache)
         dev_res, b0 = submit_call_batch(
             batch, ref16, chars, dtabs, precision, compact=True
         )
         pending.append((batch, chars, ref16, dev_res, b0))
+    return pending
 
+
+def collect_pending(
+    pending, pu_t, pu_n, refcache, dtabs, precision
+) -> list[tuple[int, SniperRecord]]:
+    """Fetch compacted results and build records, sorted by column key."""
     records: list[tuple[int, SniperRecord]] = []
     for batch, chars, ref16, dev_res, b0 in pending:
         count = int(dev_res.count)
@@ -251,8 +274,7 @@ def call_pair(
                                  refcache.header)
         )
     records.sort(key=lambda kv: kv[0])
-    for _, rec in records:
-        yield rec
+    return records
 
 
 def _pad_b(arr: np.ndarray, B: int):
