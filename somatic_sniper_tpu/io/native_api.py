@@ -164,6 +164,18 @@ class _PileupHandle:
         out = np.empty((B, D), np.uint16)
         nk = np.empty(B, np.int32)
         rms = np.empty(B, np.int32)
+        self.pad16_into(col_idx, ref16, D, cap_mapq, out, nk, rms)
+        return out, nk, rms
+
+    def pad16_into(self, col_idx: np.ndarray, ref16: np.ndarray, D: int,
+                   cap_mapq: int, out: np.ndarray, nk: np.ndarray,
+                   rms: np.ndarray) -> None:
+        """pad16 writing into caller-provided contiguous views (lets the
+        runner build the final device upload buffer with zero extra host
+        copies — the padded [2,B,D] stack is written in place)."""
+        B = len(col_idx)
+        assert out.flags.c_contiguous and out.dtype == np.uint16
+        assert nk.flags.c_contiguous and rms.flags.c_contiguous
         ci = np.ascontiguousarray(col_idx, dtype=np.int64)
         r16 = np.ascontiguousarray(ref16, dtype=np.int32)
         self._lib.pileup_pad16(
@@ -175,7 +187,6 @@ class _PileupHandle:
             nk.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             rms.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         )
-        return out, nk, rms
 
     def __del__(self):
         try:

@@ -126,8 +126,8 @@ def call_pair_windows(
     manifests and multi-shard merges agree on numbering.
     """
     from ..runner import (
-        DeviceTables,
         RefCache,
+        get_device_tables,
         _make_ref16_fn,
         _prefilter_flags,
         _ref_arrays,
@@ -148,7 +148,7 @@ def call_pair_windows(
     ref_blob, ref_off = _ref_blob(fasta, header)
     packed16 = precision == "fast" and ref_blob is not None
     ref16_fn = _make_ref16_fn(ref_blob, ref_off) if packed16 else None
-    dtabs = DeviceTables(tabs, precision)
+    dtabs = get_device_tables(params, precision)
 
     carry_t = _QuirkCarry(tumor_bam, idx_t, header,
                           params.flag_mask, params.mapq_threshold)

@@ -77,6 +77,21 @@ def _ref_arrays(batch: PairedBatch, refcache: RefCache):
     return chars, ref16
 
 
+_DEVICE_TABLES_CACHE: dict = {}
+
+
+def get_device_tables(params: ModelParams, precision: str) -> "DeviceTables":
+    """Process-wide DeviceTables cache: the 16-32 MiB coef upload and the
+    jnp conversions are paid once per (params, precision), not once per
+    call_pair invocation."""
+    key = (params, precision)
+    dt = _DEVICE_TABLES_CACHE.get(key)
+    if dt is None:
+        dt = DeviceTables(build_tables(params), precision)
+        _DEVICE_TABLES_CACHE[key] = dt
+    return dt
+
+
 class DeviceTables:
     """Model tables resident on device, converted once per precision.
 
@@ -118,20 +133,19 @@ def _sample_data(pu, sl, rb4, wanted, gt, jgt, jcq, cnsq, vaq, score, status):
 
 
 def _load_pileups(tumor_bam, normal_bam, params):
-    """Decode + columnize both BAMs, in parallel threads when the native
-    layer is available (ctypes releases the GIL for the C++ work)."""
+    """Decode + columnize both BAMs.  Sequential on purpose: the native
+    loader already fans its BGZF inflate and pileup build across all host
+    cores, so loading the two files in Python threads just oversubscribes
+    the cores (~2x slower on small hosts)."""
     from .io import native_api
 
     if native_api.available():
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            f_t = ex.submit(native_api.load_and_columnize, tumor_bam,
-                            params.flag_mask, params.mapq_threshold)
-            f_n = ex.submit(native_api.load_and_columnize, normal_bam,
-                            params.flag_mask, params.mapq_threshold)
-            header_t, pu_t = f_t.result()
-            header_n, pu_n = f_n.result()
+        header_t, pu_t = native_api.load_and_columnize(
+            tumor_bam, params.flag_mask, params.mapq_threshold
+        )
+        header_n, pu_n = native_api.load_and_columnize(
+            normal_bam, params.flag_mask, params.mapq_threshold
+        )
     else:
         header_t, reads_t = read_bam(tumor_bam)
         header_n, reads_n = read_bam(normal_bam)
@@ -215,7 +229,7 @@ def call_pair(
     packed16 = precision == "fast" and ref_blob is not None
     ref16_fn = _make_ref16_fn(ref_blob, ref_off) if packed16 else None
 
-    dtabs = DeviceTables(tabs, precision)
+    dtabs = get_device_tables(params, precision)
     pending = submit_batches(
         pu_t, pu_n, refcache, dtabs, precision, max_batch,
         drop_t, drop_n, packed16, ref16_fn, params.cap_mapq,
@@ -235,6 +249,17 @@ def submit_batches(
     pending list for collect_pending.  Submitting everything before
     collecting overlaps device compute/transfers with host-side padding
     of later batches."""
+    if (
+        packed16
+        and pu_t.owner is not None
+        and hasattr(pu_t.owner, "pad16_into")
+        and pu_n.owner is not None
+        and hasattr(pu_n.owner, "pad16_into")
+    ):
+        return _submit_batches_fast(
+            pu_t, pu_n, dtabs, max_batch, drop_t, drop_n, ref16_fn,
+            cap_mapq,
+        )
     pending = []
     for batch in paired_batches(pu_t, pu_n, max_batch=max_batch,
                                 drop_tumor=drop_t, drop_normal=drop_n,
@@ -248,16 +273,76 @@ def submit_batches(
     return pending
 
 
+def _submit_batches_fast(
+    pu_t, pu_n, dtabs, max_batch, drop_t, drop_n, ref16_fn, cap_mapq
+):
+    """Zero-extra-copy dispatch for the native u16 fast path: the padded
+    [2,B,D] slot stack and the [7,B] metadata block are written in place
+    by the native pad16 (no per-sample arrays, no np.stack, no re-pad),
+    then shipped as exactly two uploads.  Reference characters for the
+    handful of emitted records are resolved later (collect time)."""
+    from .pileup.columnize import paired_batch_indices
+
+    p = dtabs.params
+    pending = []
+    for ib in paired_batch_indices(pu_t, pu_n, max_batch=max_batch,
+                                   drop_tumor=drop_t, drop_normal=drop_n):
+        b0 = len(ib.keys)
+        B = _b_bucket(b0)
+        D = ib.D
+        ref16 = ref16_fn(ib.keys).astype(np.int32)
+        stacked_h = np.zeros((2, B, D), np.uint16)
+        meta_h = np.zeros((7, B), np.int32)
+        pu_t.owner.pad16_into(ib.ti, ref16, D, cap_mapq,
+                              stacked_h[0, :b0], meta_h[3, :b0],
+                              meta_h[5, :b0])
+        pu_n.owner.pad16_into(ib.ni, ref16, D, cap_mapq,
+                              stacked_h[1, :b0], meta_h[4, :b0],
+                              meta_h[6, :b0])
+        meta_h[0, :b0] = ib.d_t
+        meta_h[1, :b0] = ib.d_n
+        meta_h[2, :b0] = ref16
+        stacked = jnp.asarray(stacked_h)
+        meta = jnp.asarray(meta_h)
+        cb_t = ColumnBatch(slots=stacked[0], depth=meta[0], ref16=meta[2],
+                           n_keep=meta[3], rms_sum=meta[5])
+        cb_n = ColumnBatch(slots=stacked[1], depth=meta[1], ref16=meta[2],
+                           n_keep=meta[4], rms_sum=meta[6])
+        res = call_batch_compact(
+            cb_t, cb_n, dtabs.fk, dtabs.coef, dtabs.lhet,
+            dtabs.solo_prior, dtabs.joint_prior, dtabs.qadd,
+            dtabs.q_r_int, precision="fast",
+            use_joint=p.use_joint_priors,
+            min_somatic_qual=p.min_somatic_qual,
+            include_loh=p.include_loh, include_gor=p.include_gor,
+            cap_mapq=p.cap_mapq, theta=p.theta, eta=p.eta,
+            max_emit=min(B, 16384),
+        )
+        batch = PairedBatch(
+            keys=ib.keys, ref16=ref16,
+            tumor=stacked_h[0], normal=stacked_h[1],
+            n_tumor=meta_h[0, :b0], n_normal=meta_h[1, :b0],
+            nk_tumor=meta_h[3, :b0], nk_normal=meta_h[4, :b0],
+            rms_tumor=meta_h[5, :b0], rms_normal=meta_h[6, :b0],
+        )
+        pending.append((batch, None, ref16, res, b0))
+    return pending
+
+
 def collect_pending(
     pending, pu_t, pu_n, refcache, dtabs, precision
 ) -> list[tuple[int, SniperRecord]]:
     """Fetch compacted results and build records, sorted by column key."""
     records: list[tuple[int, SniperRecord]] = []
     for batch, chars, ref16, dev_res, b0 in pending:
-        count = int(dev_res.count)
-        if count > dev_res.rows.shape[0]:
+        # one round-trip fetches the count and the row buffer together
+        count, rows_full = jax.device_get((dev_res.count, dev_res.rows))
+        count = int(count)
+        if count > rows_full.shape[0]:
             # emitted rows overflow the compact buffer (pathological emit
             # rate) — refetch the full per-column result
+            if chars is None:
+                chars, _ = _ref_arrays(batch, refcache)
             full, _ = submit_call_batch(
                 batch, ref16, chars, dtabs, precision, compact=False
             )
@@ -265,16 +350,34 @@ def collect_pending(
             res = CallResult(*(v[:b0] for v in host))
             records.extend(
                 emit_records(batch, res, chars, ref16, pu_t, pu_n,
-                             refcache.header)
+                             refcache)
             )
             continue
-        rows = np.asarray(dev_res.rows)[:count]
+        rows = rows_full[:count]
         records.extend(
             emit_records_compact(batch, rows, chars, ref16, pu_t, pu_n,
-                                 refcache.header)
+                                 refcache)
         )
     records.sort(key=lambda kv: kv[0])
     return records
+
+
+def _ref_chars_for(keys: np.ndarray, refcache: RefCache) -> np.ndarray:
+    """Raw reference characters for the given column keys (emit-time
+    lookup for the fast path, which never materializes per-batch chars)."""
+    tids = (keys >> 40).astype(np.int64)
+    poss = (keys & ((1 << 40) - 1)).astype(np.int64)
+    chars = np.full(len(keys), ord("N"), np.int32)
+    for tid in np.unique(tids):
+        seq = refcache.get(int(tid))
+        if seq is None:
+            continue
+        m = tids == tid
+        p = poss[m]
+        ok = p < len(seq)
+        arr = np.frombuffer(seq, dtype=np.uint8)
+        chars[m] = np.where(ok, arr[np.minimum(p, len(seq) - 1)], ord("N"))
+    return chars
 
 
 def _pad_b(arr: np.ndarray, B: int):
@@ -375,50 +478,56 @@ def run_call_batch(batch, ref16, chars, dtabs, precision) -> CallResult:
 def emit_records(
     batch: PairedBatch,
     res: CallResult,
-    chars: np.ndarray,
+    chars: np.ndarray | None,
     ref16: np.ndarray,
     pu_t: ColumnarPileup,
     pu_n: ColumnarPileup,
-    header: BamHeader,
+    refcache: RefCache,
 ) -> list[tuple[int, SniperRecord]]:
     emit = np.asarray(res.emit)
     idx = np.nonzero(emit)[0]
     if len(idx) == 0:
         return []
     f = {k: np.asarray(v)[idx] for k, v in res._asdict().items()}
-    return _build_records(batch, idx, f, chars, ref16, pu_t, pu_n, header)
+    return _build_records(batch, idx, f, chars, ref16, pu_t, pu_n,
+                          refcache)
 
 
 def emit_records_compact(
     batch: PairedBatch,
     rows: np.ndarray,
-    chars: np.ndarray,
+    chars: np.ndarray | None,
     ref16: np.ndarray,
     pu_t: ColumnarPileup,
     pu_n: ColumnarPileup,
-    header: BamHeader,
+    refcache: RefCache,
 ) -> list[tuple[int, SniperRecord]]:
     """emit_records over a device-compacted [count, 1+NF] row matrix."""
     if len(rows) == 0:
         return []
     idx = rows[:, 0].astype(np.int64)
     f = {name: rows[:, 1 + j] for j, name in enumerate(COMPACT_FIELDS)}
-    return _build_records(batch, idx, f, chars, ref16, pu_t, pu_n, header)
+    return _build_records(batch, idx, f, chars, ref16, pu_t, pu_n,
+                          refcache)
 
 
 def _build_records(
     batch: PairedBatch,
     idx: np.ndarray,
     f: dict,
-    chars: np.ndarray,
+    chars: np.ndarray | None,
     ref16: np.ndarray,
     pu_t: ColumnarPileup,
     pu_n: ColumnarPileup,
-    header: BamHeader,
+    refcache: RefCache,
 ) -> list[tuple[int, SniperRecord]]:
+    header = refcache.header
     keys = batch.keys[idx]
     tids = (keys >> 40).astype(np.int64)
     poss = (keys & ((1 << 40) - 1)).astype(np.int64)
+    chars_emit = (
+        chars[idx] if chars is not None else _ref_chars_for(keys, refcache)
+    )
     rb4 = ref16[idx].astype(np.int64)
     wanted = rb4 | f["tumor_eff_gt"] | f["normal_eff_gt"]
     ci_t = np.searchsorted(pu_t.ukeys, keys)
@@ -428,7 +537,6 @@ def _build_records(
 
     out = []
     for k in range(len(idx)):
-        i = idx[k]
         tumor = SampleData(
             genotype=int(f["tumor_gt"][k]),
             joint_genotype=int(f["joint_tumor_gt"][k]),
@@ -452,7 +560,7 @@ def _build_records(
         rec = SniperRecord(
             seq_name=header.ref_names[int(tids[k])],
             pos=int(poss[k]),
-            ref_base=int(chars[i]),
+            ref_base=int(chars_emit[k]),
             ref_base4=int(rb4[k]),
             tumor=tumor,
             normal=normal,
