@@ -15,6 +15,11 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import GERMLINE, LOH, SOMATIC, UNKNOWN, WILDTYPE
+from .allele_util import (
+    genotype_is_proper_subset,
+    should_filter_as_gor,
+    should_filter_as_loh,
+)
 from .consensus import (
     glf2cns_batch,
     make_qadd,
@@ -48,9 +53,7 @@ class CallResult(NamedTuple):
     normal_depth: jax.Array
 
 
-def _proper_subset(a, b):
-    """allele_util.h:26-27: a != b and a & b == a."""
-    return (b != a) & ((a & b) == a)
+_proper_subset = genotype_is_proper_subset
 
 
 @partial(
@@ -138,10 +141,8 @@ def call_batch(
         score.joint_normal_gt != 0, score.joint_normal_gt, n_b1
     )
 
-    loh_filter = _proper_subset(tumor_eff, normal_eff)
-    gor_filter = (~_proper_subset(rb4, normal_eff)) & (
-        (tumor_eff & ~normal_eff) == rb4
-    )
+    loh_filter = should_filter_as_loh(rb4, tumor_eff, normal_eff)
+    gor_filter = should_filter_as_gor(rb4, tumor_eff, normal_eff)
     emit = (
         is_snp
         & (min_somatic_qual <= qps)
