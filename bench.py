@@ -77,7 +77,7 @@ def time_ours(d: Path) -> float:
     list(call_pair(str(d / "tumor.bam"), str(d / "normal.bam"),
                    str(d / "ref.fa"), precision="fast"))
     best = float("inf")
-    for _ in range(3):
+    for _ in range(6):
         t0 = time.time()
         recs = list(call_pair(str(d / "tumor.bam"), str(d / "normal.bam"),
                               str(d / "ref.fa"), precision="fast"))

@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="normal sample id (for VCF header) [NORMAL]")
     p.add_argument("-t", dest="tumor_id", default="TUMOR", metavar="STRING",
                    help="tumor sample id (for VCF header) [TUMOR]")
+    p.add_argument("-I", dest="_dead_I", default=None, metavar="STRING",
+                   help=argparse.SUPPRESS)  # parity: reference getopt
+    # consumes "I:" but has no handler for it (reference main.c:80)
     p.add_argument("-F", dest="format", default="classic", metavar="STRING",
                    choices=sorted(FORMATTERS),
                    help="select output format [classic] "
@@ -115,6 +118,19 @@ def main(argv=None) -> int:
         print("You MUST specify a reference sequence. It isn't optional.",
               file=sys.stderr)
         return 1
+    if args.tumor_bam == "-":
+        # tumor BAM from stdin (reference main.c:128): spool to a temp
+        # file so the region/seek paths work on it too
+        import tempfile
+
+        tmp = tempfile.NamedTemporaryFile(suffix=".bam", delete=False)
+        with tmp:
+            while True:
+                chunk = sys.stdin.buffer.read(1 << 20)
+                if not chunk:
+                    break
+                tmp.write(chunk)
+        args.tumor_bam = tmp.name
 
     params = ModelParams(
         theta=args.theta,
