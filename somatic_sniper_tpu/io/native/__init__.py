@@ -134,6 +134,24 @@ def get_lib():
             ctypes.POINTER(ctypes.c_double), ctypes.c_double,
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        lib.paired_plan.restype = ctypes.c_int64
+        lib.paired_plan.argtypes = [
+            ctypes.POINTER(NativePileupStruct),
+            ctypes.POINTER(NativePileupStruct),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_double, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.sniper_last_error.restype = ctypes.c_char_p
         _lib = lib
         return _lib

@@ -879,4 +879,112 @@ void pileup_pad16(const NativePileup* np, const int64_t* col_idx,
     }
 }
 
+// One column's pure-reference prefilter predicate (same condition as
+// pileup_flags above; see pileup/prefilter.py for the safety argument).
+static inline bool column_pure_ref(const NativePileup* np, int64_t c,
+                                   uint8_t rcode, const double* fk,
+                                   const double* gmin, double margin) {
+    if (rcode != 1 && rcode != 2 && rcode != 4 && rcode != 8) return false;
+    int64_t m = 0;
+    double L = 0.0;
+    for (int64_t i = np->offsets[c]; i < np->offsets[c + 1]; ++i) {
+        uint32_t s = np->slots[i];
+        if ((s >> 21) & 1) continue;  // deletion
+        uint32_t b16 = (s >> 16) & 0xF;
+        if (b16 != rcode && b16 != 0) return false;
+        uint32_t q = (s >> 8) & 0xFF;
+        uint32_t mq = s & 0xFF;
+        uint32_t eff = q < mq ? q : mq;
+        if (eff < 4 && (q & 0x3F) != 0) eff = 4;
+        if (eff > 0) {
+            L += fk[m < 255 ? m : 255] * (double)eff;
+            ++m;
+        }
+    }
+    return m >= 1 && L + gmin[m <= 255 ? m : 254] >= margin;
+}
+
+// Fused pair planning: one linear merge over the two sorted ukey lists
+// produces, for every column present in BOTH samples and not dropped by
+// the pure-reference prefilter, its (key, per-sample column index,
+// depths, reference code), grouped by depth bucket.  Replaces four
+// separate numpy passes (intersect1d, two pure_flags scans over ALL
+// columns of each file, searchsorted bucketing) with one O(shared)
+// pass that never touches non-shared columns.
+//
+// Outputs are caller-allocated with capacity min(t->n_cols, n->n_cols);
+// group_off has n_buckets + 2 entries: groups 0..n_buckets-1 are the
+// depth buckets, group n_buckets collects oversize columns (depth above
+// the last bucket), each group in ascending key order.  Returns the
+// total number of kept columns.
+int64_t paired_plan(const NativePileup* t, const NativePileup* n,
+                    const uint8_t* ref16, const int64_t* ref_off,
+                    int32_t n_ref, const double* fk, const double* gmin,
+                    double margin, int use_prefilter,
+                    const int32_t* buckets, int32_t n_buckets,
+                    int64_t* keys_out, int64_t* ti_out, int64_t* ni_out,
+                    int32_t* dt_out, int32_t* dn_out, int32_t* r16_out,
+                    int64_t* group_off) {
+    const int64_t POS_MASK = ((int64_t)1 << 40) - 1;
+    struct Rec {
+        int64_t key, ti, ni;
+        int32_t dt, dn, r16, grp;
+    };
+    std::vector<Rec> recs;
+    int64_t cap = t->n_cols < n->n_cols ? t->n_cols : n->n_cols;
+    recs.reserve((size_t)cap);
+    std::vector<int64_t> cnt((size_t)n_buckets + 1, 0);
+    int64_t it = 0, in = 0;
+    while (it < t->n_cols && in < n->n_cols) {
+        int64_t kt = t->ukeys[it], kn = n->ukeys[in];
+        if (kt < kn) {
+            ++it;
+            continue;
+        }
+        if (kn < kt) {
+            ++in;
+            continue;
+        }
+        int32_t tid = (int32_t)(kt >> 40);
+        int64_t pos = kt & POS_MASK;
+        int32_t rc = 15;
+        if (tid >= 0 && tid < n_ref &&
+            pos < ref_off[tid + 1] - ref_off[tid])
+            rc = (int32_t)ref16[ref_off[tid] + pos];
+        bool drop =
+            use_prefilter &&
+            column_pure_ref(t, it, (uint8_t)rc, fk, gmin, margin) &&
+            column_pure_ref(n, in, (uint8_t)rc, fk, gmin, margin);
+        if (!drop) {
+            int32_t dt = (int32_t)(t->offsets[it + 1] - t->offsets[it]);
+            int32_t dn = (int32_t)(n->offsets[in + 1] - n->offsets[in]);
+            int32_t dmax = dt > dn ? dt : dn;
+            int32_t g = n_buckets;  // oversize
+            for (int32_t bi = 0; bi < n_buckets; ++bi)
+                if (dmax <= buckets[bi]) {
+                    g = bi;
+                    break;
+                }
+            recs.push_back({kt, it, in, dt, dn, rc, g});
+            ++cnt[(size_t)g];
+        }
+        ++it;
+        ++in;
+    }
+    group_off[0] = 0;
+    for (int32_t g = 0; g <= n_buckets; ++g)
+        group_off[g + 1] = group_off[g] + cnt[(size_t)g];
+    std::vector<int64_t> cur(group_off, group_off + n_buckets + 1);
+    for (const Rec& r : recs) {
+        int64_t o = cur[(size_t)r.grp]++;
+        keys_out[o] = r.key;
+        ti_out[o] = r.ti;
+        ni_out[o] = r.ni;
+        dt_out[o] = r.dt;
+        dn_out[o] = r.dn;
+        r16_out[o] = r.r16;
+    }
+    return (int64_t)recs.size();
+}
+
 }  // extern "C"

@@ -193,3 +193,73 @@ class _PileupHandle:
             self._lib.pileup_destroy(self._ptr)
         except Exception:
             pass
+
+
+class PairedPlan:
+    """Output of :func:`paired_plan`: shared columns grouped by depth
+    bucket (groups 0..len(buckets)-1), oversize columns in the final
+    group.  Arrays are parallel; group g occupies
+    ``[group_off[g], group_off[g+1])``."""
+
+    __slots__ = ("keys", "ti", "ni", "d_t", "d_n", "ref16", "group_off")
+
+    def __init__(self, keys, ti, ni, d_t, d_n, ref16, group_off):
+        self.keys = keys
+        self.ti = ti
+        self.ni = ni
+        self.d_t = d_t
+        self.d_n = d_n
+        self.ref16 = ref16
+        self.group_off = group_off
+
+
+def paired_plan(
+    pu_t: ColumnarPileup,
+    pu_n: ColumnarPileup,
+    ref_blob: np.ndarray,
+    ref_off: np.ndarray,
+    buckets: tuple[int, ...],
+    fk: np.ndarray | None = None,
+    gmin: np.ndarray | None = None,
+    margin: float = 0.0,
+) -> PairedPlan:
+    """Fused native intersect + pure-reference prefilter + depth-bucket
+    grouping over two native pileups (one O(shared) C++ pass).  The
+    prefilter runs iff ``gmin`` is given."""
+    owner_t, owner_n = pu_t.owner, pu_n.owner
+    lib = owner_t._lib
+    blob = np.ascontiguousarray(ref_blob, np.uint8)
+    off = np.ascontiguousarray(ref_off, np.int64)
+    fk_c = np.ascontiguousarray(
+        fk if fk is not None else np.zeros(256), np.float64
+    )
+    gmin_c = np.ascontiguousarray(
+        gmin if gmin is not None else np.zeros(256), np.float64
+    )
+    bk = np.ascontiguousarray(buckets, np.int32)
+    cap = int(min(len(pu_t.ukeys), len(pu_n.ukeys)))
+    keys = np.empty(cap, np.int64)
+    ti = np.empty(cap, np.int64)
+    ni = np.empty(cap, np.int64)
+    d_t = np.empty(cap, np.int32)
+    d_n = np.empty(cap, np.int32)
+    r16 = np.empty(cap, np.int32)
+    goff = np.empty(len(bk) + 2, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    total = lib.paired_plan(
+        owner_t._ptr, owner_n._ptr,
+        blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        off.ctypes.data_as(i64p), len(off) - 1,
+        fk_c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        gmin_c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        float(margin), 1 if gmin is not None else 0,
+        bk.ctypes.data_as(i32p), len(bk),
+        keys.ctypes.data_as(i64p), ti.ctypes.data_as(i64p),
+        ni.ctypes.data_as(i64p), d_t.ctypes.data_as(i32p),
+        d_n.ctypes.data_as(i32p), r16.ctypes.data_as(i32p),
+        goff.ctypes.data_as(i64p),
+    )
+    assert int(goff[-1]) == int(total)
+    return PairedPlan(keys[:total], ti[:total], ni[:total], d_t[:total],
+                      d_n[:total], r16[:total], goff)

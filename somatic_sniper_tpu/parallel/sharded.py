@@ -127,6 +127,7 @@ def call_pair_windows(
     """
     from ..runner import (
         RefCache,
+        can_plan,
         get_device_tables,
         _make_ref16_fn,
         _prefilter_flags,
@@ -134,6 +135,7 @@ def call_pair_windows(
         _ref_blob,
         collect_pending,
         submit_batches,
+        submit_batches_planned,
     )
 
     header = read_bam_header(tumor_bam)
@@ -168,15 +170,21 @@ def call_pair_windows(
             tid, beg, end, params.flag_mask, params.mapq_threshold,
             drop_first_end_le=carry_n.for_window(tid, beg),
         )
-        drop_t = drop_n = None
-        if prefilter:
-            drop_t, drop_n = _prefilter_flags(
-                pu_t, pu_n, ref_blob, ref_off, tabs
+        if can_plan(pu_t, pu_n, packed16):
+            pending = submit_batches_planned(
+                pu_t, pu_n, dtabs, max_batch, tabs, ref_blob, ref_off,
+                params.cap_mapq, prefilter,
             )
-        pending = submit_batches(
-            pu_t, pu_n, refcache, dtabs, precision, max_batch,
-            drop_t, drop_n, packed16, ref16_fn, params.cap_mapq,
-        )
+        else:
+            drop_t = drop_n = None
+            if prefilter:
+                drop_t, drop_n = _prefilter_flags(
+                    pu_t, pu_n, ref_blob, ref_off, tabs
+                )
+            pending = submit_batches(
+                pu_t, pu_n, refcache, dtabs, precision, max_batch,
+                drop_t, drop_n, packed16, ref16_fn, params.cap_mapq,
+            )
         records = collect_pending(
             pending, pu_t, pu_n, refcache, dtabs, precision
         )

@@ -342,56 +342,6 @@ def _pad_columns16(
     return out, nk, rms
 
 
-class IndexBatch(NamedTuple):
-    """A paired batch before padding: just the shared keys, each sample's
-    column indices, and the depth bucket.  Lets the caller pad straight
-    into its device upload buffer (no intermediate padded copies)."""
-
-    keys: np.ndarray   # [b] int64 column keys
-    ti: np.ndarray     # [b] indices into tumor.ukeys
-    ni: np.ndarray     # [b] indices into normal.ukeys
-    d_t: np.ndarray    # [b] tumor depths
-    d_n: np.ndarray    # [b] normal depths
-    D: int             # depth bucket
-
-
-def paired_batch_indices(
-    tumor: ColumnarPileup,
-    normal: ColumnarPileup,
-    max_batch: int = 65536,
-    drop_tumor: np.ndarray | None = None,
-    drop_normal: np.ndarray | None = None,
-) -> Iterator[IndexBatch]:
-    """Index-only version of paired_batches (same intersection, prefilter
-    and depth-bucket logic; padding is left to the caller)."""
-    shared, ti, ni = np.intersect1d(
-        tumor.ukeys, normal.ukeys, assume_unique=True, return_indices=True
-    )
-    if drop_tumor is not None and drop_normal is not None and len(shared):
-        keep = ~((drop_tumor[ti] != 0) & (drop_normal[ni] != 0))
-        shared, ti, ni = shared[keep], ti[keep], ni[keep]
-    if len(shared) == 0:
-        return
-    d_t = tumor.depths[ti]
-    d_n = normal.depths[ni]
-    dmax = np.maximum(d_t, d_n)
-    bucket_of = np.searchsorted(np.array(DEPTH_BUCKETS), dmax)
-    bucket_of = np.minimum(bucket_of, len(DEPTH_BUCKETS) - 1)
-    oversize = dmax > DEPTH_BUCKETS[-1]
-    for bi in range(len(DEPTH_BUCKETS)):
-        mask = (bucket_of == bi) & ~oversize
-        idx = np.nonzero(mask)[0]
-        D = DEPTH_BUCKETS[bi]
-        for s in range(0, len(idx), max_batch):
-            sub = idx[s : s + max_batch]
-            yield IndexBatch(shared[sub], ti[sub], ni[sub],
-                             d_t[sub], d_n[sub], D)
-    for i in np.nonzero(oversize)[0]:
-        sub = np.array([i])
-        yield IndexBatch(shared[sub], ti[sub], ni[sub],
-                         d_t[sub], d_n[sub], int(dmax[i]))
-
-
 def paired_batches(
     tumor: ColumnarPileup,
     normal: ColumnarPileup,

@@ -227,21 +227,26 @@ def call_pair(
     refcache = RefCache(fasta, header_t)
     tabs = build_tables(params)
     ref_blob, ref_off = _ref_blob(fasta, header_t)
-    drop_t = drop_n = None
-    if prefilter:
-        drop_t, drop_n = _prefilter_flags(
-            pu_t, pu_n, ref_blob, ref_off, tabs
-        )
     # fast path ships compact u16 batches (half the accelerator-link
     # bytes); the exact path needs the full u32 slots
     packed16 = precision == "fast" and ref_blob is not None
-    ref16_fn = _make_ref16_fn(ref_blob, ref_off) if packed16 else None
-
     dtabs = get_device_tables(params, precision)
-    pending = submit_batches(
-        pu_t, pu_n, refcache, dtabs, precision, max_batch,
-        drop_t, drop_n, packed16, ref16_fn, params.cap_mapq,
-    )
+    if can_plan(pu_t, pu_n, packed16):
+        pending = submit_batches_planned(
+            pu_t, pu_n, dtabs, max_batch, tabs, ref_blob, ref_off,
+            params.cap_mapq, prefilter,
+        )
+    else:
+        drop_t = drop_n = None
+        if prefilter:
+            drop_t, drop_n = _prefilter_flags(
+                pu_t, pu_n, ref_blob, ref_off, tabs
+            )
+        ref16_fn = _make_ref16_fn(ref_blob, ref_off) if packed16 else None
+        pending = submit_batches(
+            pu_t, pu_n, refcache, dtabs, precision, max_batch,
+            drop_t, drop_n, packed16, ref16_fn, params.cap_mapq,
+        )
     records = collect_pending(
         pending, pu_t, pu_n, refcache, dtabs, precision
     )
@@ -256,18 +261,8 @@ def submit_batches(
     """Dispatch every paired batch to the device (async); returns the
     pending list for collect_pending.  Submitting everything before
     collecting overlaps device compute/transfers with host-side padding
-    of later batches."""
-    if (
-        packed16
-        and pu_t.owner is not None
-        and hasattr(pu_t.owner, "pad16_into")
-        and pu_n.owner is not None
-        and hasattr(pu_n.owner, "pad16_into")
-    ):
-        return _submit_batches_fast(
-            pu_t, pu_n, dtabs, max_batch, drop_t, drop_n, ref16_fn,
-            cap_mapq,
-        )
+    of later batches.  (The native fast path uses
+    :func:`submit_batches_planned` instead.)"""
     pending = []
     for batch in paired_batches(pu_t, pu_n, max_batch=max_batch,
                                 drop_tumor=drop_t, drop_normal=drop_n,
@@ -281,60 +276,107 @@ def submit_batches(
     return pending
 
 
-def _submit_batches_fast(
-    pu_t, pu_n, dtabs, max_batch, drop_t, drop_n, ref16_fn, cap_mapq
-):
-    """Zero-extra-copy dispatch for the native u16 fast path: the padded
-    [2,B,D] slot stack and the [7,B] metadata block are written in place
-    by the native pad16 (no per-sample arrays, no np.stack, no re-pad),
-    then shipped as exactly two uploads.  Reference characters for the
-    handful of emitted records are resolved later (collect time)."""
-    from .pileup.columnize import paired_batch_indices
+def can_plan(pu_t, pu_n, packed16: bool) -> bool:
+    """True when the fused native plan path applies: fast-precision u16
+    batches with both pileups owned by the native layer."""
+    return (
+        packed16
+        and pu_t.owner is not None
+        and hasattr(pu_t.owner, "pad16_into")
+        and pu_n.owner is not None
+        and hasattr(pu_n.owner, "pad16_into")
+    )
 
-    p = dtabs.params
+
+def submit_batches_planned(
+    pu_t, pu_n, dtabs, max_batch, tabs, ref_blob, ref_off, cap_mapq,
+    prefilter: bool,
+):
+    """Plan + dispatch for the native u16 fast path.
+
+    One native ``paired_plan`` pass fuses the ukey intersection, the
+    pure-reference prefilter (both-samples-pure columns never leave the
+    host) and depth-bucket grouping; each group then ships through the
+    zero-extra-copy u16 dispatch."""
+    from .io.native_api import paired_plan
+    from .pileup.columnize import DEPTH_BUCKETS
+    from .pileup.prefilter import prefilter_tables
+
+    gmin = None
+    margin = 0.0
+    if prefilter:
+        pt = prefilter_tables(tabs)
+        if pt is not None:
+            gmin, margin = pt
+    plan = paired_plan(pu_t, pu_n, ref_blob, ref_off, DEPTH_BUCKETS,
+                       fk=tabs.fk, gmin=gmin, margin=margin)
     pending = []
-    for ib in paired_batch_indices(pu_t, pu_n, max_batch=max_batch,
-                                   drop_tumor=drop_t, drop_normal=drop_n):
-        b0 = len(ib.keys)
-        B = _b_bucket(b0)
-        D = ib.D
-        ref16 = ref16_fn(ib.keys).astype(np.int32)
-        stacked_h = np.zeros((2, B, D), np.uint16)
-        meta_h = np.zeros((7, B), np.int32)
-        pu_t.owner.pad16_into(ib.ti, ref16, D, cap_mapq,
-                              stacked_h[0, :b0], meta_h[3, :b0],
-                              meta_h[5, :b0])
-        pu_n.owner.pad16_into(ib.ni, ref16, D, cap_mapq,
-                              stacked_h[1, :b0], meta_h[4, :b0],
-                              meta_h[6, :b0])
-        meta_h[0, :b0] = ib.d_t
-        meta_h[1, :b0] = ib.d_n
-        meta_h[2, :b0] = ref16
-        stacked = jnp.asarray(stacked_h)
-        meta = jnp.asarray(meta_h)
-        cb_t = ColumnBatch(slots=stacked[0], depth=meta[0], ref16=meta[2],
-                           n_keep=meta[3], rms_sum=meta[5])
-        cb_n = ColumnBatch(slots=stacked[1], depth=meta[1], ref16=meta[2],
-                           n_keep=meta[4], rms_sum=meta[6])
-        res = call_batch_compact(
-            cb_t, cb_n, dtabs.fk, dtabs.coef, dtabs.lhet,
-            dtabs.solo_prior, dtabs.joint_prior, dtabs.qadd,
-            dtabs.q_r_int, precision="fast",
-            use_joint=p.use_joint_priors,
-            min_somatic_qual=p.min_somatic_qual,
-            include_loh=p.include_loh, include_gor=p.include_gor,
-            cap_mapq=p.cap_mapq, theta=p.theta, eta=p.eta,
-            max_emit=min(B, 16384),
-        )
-        batch = PairedBatch(
-            keys=ib.keys, ref16=ref16,
-            tumor=stacked_h[0], normal=stacked_h[1],
-            n_tumor=meta_h[0, :b0], n_normal=meta_h[1, :b0],
-            nk_tumor=meta_h[3, :b0], nk_normal=meta_h[4, :b0],
-            rms_tumor=meta_h[5, :b0], rms_normal=meta_h[6, :b0],
-        )
-        pending.append((batch, None, ref16, res, b0))
+    nb = len(DEPTH_BUCKETS)
+    for g in range(nb + 1):
+        lo, hi = int(plan.group_off[g]), int(plan.group_off[g + 1])
+        if g < nb:
+            D = DEPTH_BUCKETS[g]
+            for s in range(lo, hi, max_batch):
+                e = min(s + max_batch, hi)
+                pending.append(
+                    _dispatch_fast(plan, s, e, D, pu_t, pu_n, dtabs,
+                                   cap_mapq)
+                )
+        else:  # oversize columns: one batch each at its own depth
+            for s in range(lo, hi):
+                D = int(max(plan.d_t[s], plan.d_n[s]))
+                pending.append(
+                    _dispatch_fast(plan, s, s + 1, D, pu_t, pu_n, dtabs,
+                                   cap_mapq)
+                )
     return pending
+
+
+def _dispatch_fast(plan, s, e, D, pu_t, pu_n, dtabs, cap_mapq):
+    """Zero-extra-copy dispatch of plan columns [s, e) at depth D: the
+    padded [2,B,D] slot stack and the [7,B] metadata block are written in
+    place by the native pad16 (no per-sample arrays, no np.stack, no
+    re-pad), then shipped as exactly two uploads.  Reference characters
+    for the handful of emitted records are resolved at collect time."""
+    p = dtabs.params
+    b0 = e - s
+    B = _b_bucket(b0)
+    ref16 = plan.ref16[s:e]
+    stacked_h = np.zeros((2, B, D), np.uint16)
+    meta_h = np.zeros((7, B), np.int32)
+    pu_t.owner.pad16_into(plan.ti[s:e], ref16, D, cap_mapq,
+                          stacked_h[0, :b0], meta_h[3, :b0],
+                          meta_h[5, :b0])
+    pu_n.owner.pad16_into(plan.ni[s:e], ref16, D, cap_mapq,
+                          stacked_h[1, :b0], meta_h[4, :b0],
+                          meta_h[6, :b0])
+    meta_h[0, :b0] = plan.d_t[s:e]
+    meta_h[1, :b0] = plan.d_n[s:e]
+    meta_h[2, :b0] = ref16
+    stacked = jnp.asarray(stacked_h)
+    meta = jnp.asarray(meta_h)
+    cb_t = ColumnBatch(slots=stacked[0], depth=meta[0], ref16=meta[2],
+                       n_keep=meta[3], rms_sum=meta[5])
+    cb_n = ColumnBatch(slots=stacked[1], depth=meta[1], ref16=meta[2],
+                       n_keep=meta[4], rms_sum=meta[6])
+    res = call_batch_compact(
+        cb_t, cb_n, dtabs.fk, dtabs.coef, dtabs.lhet,
+        dtabs.solo_prior, dtabs.joint_prior, dtabs.qadd,
+        dtabs.q_r_int, precision="fast",
+        use_joint=p.use_joint_priors,
+        min_somatic_qual=p.min_somatic_qual,
+        include_loh=p.include_loh, include_gor=p.include_gor,
+        cap_mapq=p.cap_mapq, theta=p.theta, eta=p.eta,
+        max_emit=min(B, 16384),
+    )
+    batch = PairedBatch(
+        keys=plan.keys[s:e], ref16=ref16,
+        tumor=stacked_h[0], normal=stacked_h[1],
+        n_tumor=meta_h[0, :b0], n_normal=meta_h[1, :b0],
+        nk_tumor=meta_h[3, :b0], nk_normal=meta_h[4, :b0],
+        rms_tumor=meta_h[5, :b0], rms_normal=meta_h[6, :b0],
+    )
+    return (batch, None, ref16, res, b0)
 
 
 def collect_pending(
