@@ -157,19 +157,39 @@ def call_pair_windows(
     carry_n = _QuirkCarry(normal_bam, idx_n, header,
                           params.flag_mask, params.mapq_threshold)
 
-    for wi, (tid, beg, end) in mine:
-        if skip_windows and wi in skip_windows:
-            continue
-        pu_t = native_api.load_region_and_columnize(
-            tumor_bam, np.asarray(bai.region_chunks(idx_t, tid, beg, end)),
+    # One-window lookahead: the next window's two region loads run on
+    # background threads (the native loader releases the GIL) while the
+    # current window pads, uploads, and waits on the device — the
+    # host<->device link and the host decode pipeline stay busy
+    # simultaneously instead of alternating.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _load_one(path, idx, carry, tid, beg, end):
+        return native_api.load_region_and_columnize(
+            path, np.asarray(bai.region_chunks(idx, tid, beg, end)),
             tid, beg, end, params.flag_mask, params.mapq_threshold,
-            drop_first_end_le=carry_t.for_window(tid, beg),
+            n_threads=1, drop_first_end_le=carry.for_window(tid, beg),
         )
-        pu_n = native_api.load_region_and_columnize(
-            normal_bam, np.asarray(bai.region_chunks(idx_n, tid, beg, end)),
-            tid, beg, end, params.flag_mask, params.mapq_threshold,
-            drop_first_end_le=carry_n.for_window(tid, beg),
+
+    todo = [
+        (wi, w) for wi, w in mine
+        if not (skip_windows and wi in skip_windows)
+    ]
+    ex = ThreadPoolExecutor(max_workers=2)
+
+    def _submit_load(win):
+        tid, beg, end = win
+        return (
+            ex.submit(_load_one, tumor_bam, idx_t, carry_t, tid, beg, end),
+            ex.submit(_load_one, normal_bam, idx_n, carry_n, tid, beg, end),
         )
+
+    inflight = _submit_load(todo[0][1]) if todo else None
+    for i, (wi, (tid, beg, end)) in enumerate(todo):
+        f_t, f_n = inflight
+        pu_t, pu_n = f_t.result(), f_n.result()
+        if i + 1 < len(todo):
+            inflight = _submit_load(todo[i + 1][1])
         if can_plan(pu_t, pu_n, packed16):
             pending = submit_batches_planned(
                 pu_t, pu_n, dtabs, max_batch, tabs, ref_blob, ref_off,
@@ -189,6 +209,7 @@ def call_pair_windows(
             pending, pu_t, pu_n, refcache, dtabs, precision
         )
         yield wi, (tid, beg, end), [r for _, r in records]
+    ex.shutdown(wait=True)
 
 
 def call_pair_sharded(*args, **kwargs) -> Iterator[SniperRecord]:

@@ -384,9 +384,15 @@ def collect_pending(
 ) -> list[tuple[int, SniperRecord]]:
     """Fetch compacted results and build records, sorted by column key."""
     records: list[tuple[int, SniperRecord]] = []
-    for batch, chars, ref16, dev_res, b0 in pending:
-        # one round-trip fetches the count and the row buffer together
-        count, rows_full = jax.device_get((dev_res.count, dev_res.rows))
+    # ONE device fetch for every batch's (count, rows): on tunneled
+    # devices each synchronous fetch pays the full link round-trip
+    # (~20 ms on axon), so per-batch fetching scales with batch count
+    fetched = jax.device_get(
+        [(p[3].count, p[3].rows) for p in pending]
+    )
+    for (batch, chars, ref16, dev_res, b0), (count, rows_full) in zip(
+        pending, fetched
+    ):
         count = int(count)
         if count > rows_full.shape[0]:
             # emitted rows overflow the compact buffer (pathological emit
