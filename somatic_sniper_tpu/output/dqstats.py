@@ -12,14 +12,29 @@ from dataclasses import dataclass, field
 import numpy as np
 
 
-@dataclass
+@dataclass(slots=True, eq=False)
 class DqStats:
+    """Per-allele fields are length-4 sequences (lists or numpy rows —
+    formatters only index and stringify them)."""
+
     mean_baseq: list = field(default_factory=lambda: [0, 0, 0, 0])
     mean_mapq: list = field(default_factory=lambda: [0, 0, 0, 0])
     base_occ: list = field(default_factory=lambda: [0, 0, 0, 0])
     dp4: list = field(default_factory=lambda: [0, 0, 0, 0])
     total_depth: int = 0
     total_mean_mapq: int = 0
+
+    def __eq__(self, other):
+        if not isinstance(other, DqStats):
+            return NotImplemented
+        return (
+            list(self.mean_baseq) == list(other.mean_baseq)
+            and list(self.mean_mapq) == list(other.mean_mapq)
+            and list(self.base_occ) == list(other.base_occ)
+            and list(self.dp4) == list(other.dp4)
+            and self.total_depth == other.total_depth
+            and self.total_mean_mapq == other.total_mean_mapq
+        )
 
 
 def get_dqstats(base16, baseq, mapq, strand, is_del, ref_base4, wanted_bases):
@@ -145,12 +160,14 @@ def get_dqstats_batch(pu, col_idx, rb4, wanted) -> list[DqStats]:
 
     out = []
     for k in range(K):
+        # numpy row views, not .tolist(): formatters only index/str these,
+        # and materializing 4 python lists per record was measurable
         out.append(
             DqStats(
-                mean_baseq=mean_bq[k].tolist(),
-                mean_mapq=mean_mq[k].tolist(),
-                base_occ=occ[k].tolist(),
-                dp4=dp4[k].tolist(),
+                mean_baseq=mean_bq[k],
+                mean_mapq=mean_mq[k],
+                base_occ=occ[k],
+                dp4=dp4[k],
                 total_depth=int(depth[k]),
                 total_mean_mapq=int(tot_mean[k]),
             )

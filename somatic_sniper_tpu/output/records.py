@@ -8,7 +8,7 @@ from dataclasses import dataclass
 from .dqstats import DqStats
 
 
-@dataclass
+@dataclass(slots=True)
 class SampleData:
     genotype: int
     joint_genotype: int
@@ -20,7 +20,7 @@ class SampleData:
     dqstats: DqStats
 
 
-@dataclass
+@dataclass(slots=True)
 class SniperRecord:
     seq_name: str
     pos: int          # 0-based
@@ -30,7 +30,7 @@ class SniperRecord:
     normal: SampleData
 
 
-@dataclass
+@dataclass(slots=True)
 class HeaderData:
     refseq: str
     normal_sample_id: str = "NORMAL"
