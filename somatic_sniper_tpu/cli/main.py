@@ -82,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--window-size", type=int, default=2_000_000,
                    help="genome window length for the region-sharded "
                         "streaming driver [2000000]")
+    p.add_argument("--stats", action="store_true",
+                   help="print per-stage wall-clock/volume counters to "
+                        "stderr at exit (also SNIPER_STATS=1); set "
+                        "SNIPER_PROFILE=<dir> for a JAX profiler trace")
     p.add_argument("--manifest", default=None, metavar="FILE",
                    help="per-window completion manifest; enables the "
                         "streaming driver and crash-resumable runs "
@@ -165,6 +169,8 @@ def main(argv=None) -> int:
         normal_sample_id=args.normal_id,
         tumor_sample_id=args.tumor_id,
     )
+    from ..utils import stats as run_stats
+
     use_sharded = (
         args.shards > 1 or args.shard_index is not None
         or args.manifest is not None
@@ -172,13 +178,16 @@ def main(argv=None) -> int:
     if not use_sharded:
         from ..runner import call_pair
 
-        with open(args.output, "w") as fh:
-            header_fn(fh, hdata)
-            for rec in call_pair(
-                args.tumor_bam, args.normal_bam, args.ref,
-                params=params, precision=args.precision,
-            ):
-                record_fn(fh, rec)
+        with run_stats.maybe_profile():
+            with open(args.output, "w") as fh:
+                header_fn(fh, hdata)
+                for rec in call_pair(
+                    args.tumor_bam, args.normal_bam, args.ref,
+                    params=params, precision=args.precision,
+                ):
+                    record_fn(fh, rec)
+        if args.stats or run_stats.enabled():
+            print(run_stats.STATS.summary(), file=sys.stderr)
         return 0
 
     # region-sharded streaming driver with optional per-window resume
@@ -207,6 +216,8 @@ def main(argv=None) -> int:
             fh.flush()
             if manifest:
                 manifest.mark(wi, fh.tell())
+    if args.stats or run_stats.enabled():
+        print(run_stats.STATS.summary(), file=sys.stderr)
     return 0
 
 

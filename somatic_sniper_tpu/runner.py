@@ -31,6 +31,7 @@ from .models.somatic import (
 from .models.tables import ModelParams, ModelTables, build_tables
 from .output.dqstats import get_dqstats, get_dqstats_batch
 from .output.records import SampleData, SniperRecord
+from .utils.stats import STATS
 from .pileup.columnize import (
     ColumnarPileup,
     PairedBatch,
@@ -145,7 +146,7 @@ def _load_pileups(tumor_bam, normal_bam, params):
         from concurrent.futures import ThreadPoolExecutor
 
         per_file = max(1, (os.cpu_count() or 2) // 2)
-        with ThreadPoolExecutor(max_workers=2) as ex:
+        with STATS.timer("decode"), ThreadPoolExecutor(max_workers=2) as ex:
             f_t = ex.submit(native_api.load_and_columnize, tumor_bam,
                             params.flag_mask, params.mapq_threshold,
                             per_file)
@@ -308,8 +309,10 @@ def submit_batches_planned(
         pt = prefilter_tables(tabs)
         if pt is not None:
             gmin, margin = pt
-    plan = paired_plan(pu_t, pu_n, ref_blob, ref_off, DEPTH_BUCKETS,
-                       fk=tabs.fk, gmin=gmin, margin=margin)
+    with STATS.timer("plan"):
+        plan = paired_plan(pu_t, pu_n, ref_blob, ref_off, DEPTH_BUCKETS,
+                           fk=tabs.fk, gmin=gmin, margin=margin)
+    STATS.add("columns_scored", len(plan.keys))
     pending = []
     nb = len(DEPTH_BUCKETS)
     for g in range(nb + 1):
@@ -338,6 +341,12 @@ def _dispatch_fast(plan, s, e, D, pu_t, pu_n, dtabs, cap_mapq):
     place by the native pad16 (no per-sample arrays, no np.stack, no
     re-pad), then shipped as exactly two uploads.  Reference characters
     for the handful of emitted records are resolved at collect time."""
+    with STATS.timer("pad+dispatch"):
+        return _dispatch_fast_inner(plan, s, e, D, pu_t, pu_n, dtabs,
+                                    cap_mapq)
+
+
+def _dispatch_fast_inner(plan, s, e, D, pu_t, pu_n, dtabs, cap_mapq):
     p = dtabs.params
     b0 = e - s
     B = _b_bucket(b0)
@@ -387,9 +396,10 @@ def collect_pending(
     # ONE device fetch for every batch's (count, rows): on tunneled
     # devices each synchronous fetch pays the full link round-trip
     # (~20 ms on axon), so per-batch fetching scales with batch count
-    fetched = jax.device_get(
-        [(p[3].count, p[3].rows) for p in pending]
-    )
+    with STATS.timer("device"):
+        fetched = jax.device_get(
+            [(p[3].count, p[3].rows) for p in pending]
+        )
     for (batch, chars, ref16, dev_res, b0), (count, rows_full) in zip(
         pending, fetched
     ):
@@ -410,11 +420,13 @@ def collect_pending(
             )
             continue
         rows = rows_full[:count]
-        records.extend(
-            emit_records_compact(batch, rows, chars, ref16, pu_t, pu_n,
-                                 refcache)
-        )
+        with STATS.timer("emit"):
+            records.extend(
+                emit_records_compact(batch, rows, chars, ref16, pu_t, pu_n,
+                                     refcache)
+            )
     records.sort(key=lambda kv: kv[0])
+    STATS.add("records_emitted", len(records))
     return records
 
 
