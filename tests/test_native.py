@@ -49,3 +49,32 @@ def test_native_filters_match_python(data_dir, mask, thresh):
     pu2 = columnize(reads, mask, thresh)
     np.testing.assert_array_equal(pu1.ukeys, pu2.ukeys)
     np.testing.assert_array_equal(pu1.offsets, pu2.offsets)
+
+
+def test_native_layer_under_asan(data_dir, tmp_path):
+    """Memory-safety check of the C++ layer (the reference's valgrind
+    analog, SURVEY.md §4/§5): compile the native source plus a driver
+    under -fsanitize=address,undefined and run it over the golden BAM
+    pair; leaks, overflows, or UB fail via the exit code."""
+    import subprocess
+    from pathlib import Path
+
+    driver = Path(__file__).parent / "tools" / "asan_driver.cpp"
+    exe = tmp_path / "asan_driver"
+    try:
+        subprocess.run(
+            ["g++", "-std=c++17", "-O1", "-g", "-pthread",
+             "-fsanitize=address,undefined", "-fno-omit-frame-pointer",
+             "-o", str(exe), str(driver), "-lz"],
+            check=True, capture_output=True, timeout=300,
+        )
+    except (FileNotFoundError, subprocess.CalledProcessError) as exc:
+        pytest.skip(f"asan toolchain unavailable: {exc}")
+    r = subprocess.run(
+        [str(exe), str(data_dir / "t-small.bam"),
+         str(data_dir / "n-small.bam")],
+        capture_output=True, text=True, timeout=120,
+        env={"ASAN_OPTIONS": "detect_leaks=1", "PATH": "/usr/bin:/bin"},
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert r.stdout.startswith("ok ")

@@ -1,0 +1,78 @@
+// Address/UB-sanitizer driver over the native IO/pileup layer.
+//
+// The reference wraps every test invocation in valgrind
+// (build-common/python/valgrindwrapper.py:25-48) so each run is also a
+// leak/memory-safety check.  This driver is the analog for the TPU
+// framework's C++ layer: tests/test_native.py compiles it together with
+// sniper_native.cpp under -fsanitize=address,undefined and runs it over
+// the golden BAM pair; any leak, overflow, or UB fails the exit code.
+//
+// Usage: asan_driver <tumor.bam> <normal.bam>
+
+#include "../../somatic_sniper_tpu/io/native/sniper_native.cpp"
+
+#include <cstdio>
+#include <cstdlib>
+#include <vector>
+
+int main(int argc, char** argv) {
+    if (argc < 3) {
+        std::fprintf(stderr, "usage: %s tumor.bam normal.bam\n", argv[0]);
+        return 2;
+    }
+    NativeBam* bt = bam_load(argv[1], 2);
+    NativeBam* bn = bam_load(argv[2], 1);
+    if (!bt || !bn) {
+        std::fprintf(stderr, "load failed: %s\n", sniper_last_error());
+        return 1;
+    }
+    NativePileup* pt = pileup_build(bt, 1796, 0);
+    NativePileup* pn = pileup_build(bn, 1796, 0);
+    if (!pt || !pn) return 1;
+
+    // a fake all-A reference long enough for the test contigs
+    int64_t maxlen = 0;
+    for (int32_t i = 0; i < bt->n_ref; ++i)
+        if (bt->ref_len[i] > maxlen) maxlen = bt->ref_len[i];
+    std::vector<uint8_t> ref16((size_t)(maxlen * bt->n_ref), 1);
+    std::vector<int64_t> ref_off(bt->n_ref + 1, 0);
+    for (int32_t i = 0; i < bt->n_ref; ++i)
+        ref_off[i + 1] = ref_off[i] + maxlen;
+
+    std::vector<double> fk(256, 1.0), gmin(256, 0.0);
+    std::vector<uint8_t> flags(pt->n_cols);
+    pileup_flags(pt, ref16.data(), ref_off.data(), bt->n_ref, fk.data(),
+                 gmin.data(), 2.0, flags.data());
+
+    // dense + compact padding over the first (up to) 64 columns
+    int64_t B = pt->n_cols < 64 ? pt->n_cols : 64;
+    std::vector<int64_t> ci(B);
+    for (int64_t i = 0; i < B; ++i) ci[i] = i;
+    std::vector<uint32_t> out32(B * 32);
+    pileup_pad(pt, ci.data(), B, 32, out32.data());
+    std::vector<int32_t> r16(B, 1), nk(B), rms(B);
+    std::vector<uint16_t> out16(B * 32);
+    pileup_pad16(pt, ci.data(), r16.data(), B, 32, 60, out16.data(),
+                 nk.data(), rms.data());
+
+    // fused paired plan
+    int32_t buckets[4] = {16, 32, 64, 128};
+    int64_t cap = pt->n_cols < pn->n_cols ? pt->n_cols : pn->n_cols;
+    std::vector<int64_t> keys(cap), ti(cap), ni(cap), goff(6);
+    std::vector<int32_t> dt(cap), dn(cap), rr(cap);
+    int64_t total = paired_plan(
+        pt, pn, ref16.data(), ref_off.data(), bt->n_ref, fk.data(),
+        gmin.data(), 2.0, 1, buckets, 4, keys.data(), ti.data(), ni.data(),
+        dt.data(), dn.data(), rr.data(), goff.data());
+
+    std::printf("ok n_reads=%lld/%lld cols=%lld/%lld plan=%lld\n",
+                (long long)bt->n_reads, (long long)bn->n_reads,
+                (long long)pt->n_cols, (long long)pn->n_cols,
+                (long long)total);
+
+    pileup_destroy(pt);
+    pileup_destroy(pn);
+    bam_destroy(bt);
+    bam_destroy(bn);
+    return 0;
+}
