@@ -149,3 +149,71 @@ def test_fpfilter(sniper_outputs, tmp_path, kind):
     _diff(tmp_path / "p.fp_pass", tmp_path / "q.fp_pass")
     _diff(tmp_path / "p.fp_fail", tmp_path / "q.fp_fail")
     assert buf.getvalue() == perl_out
+
+
+def test_readcount_pipeline_self_contained(data_dir, tmp_path):
+    """The documented filter pipeline runs end-to-end with the built-in
+    readcount module in place of the external bam-readcount binary, and
+    our readcount output drives the reference fpfilter.pl identically to
+    our fpfilter port (including the zero-count field-join quirk)."""
+    from somatic_sniper_tpu.scripts import readcount
+
+    d = data_dir / "e2e" / "sim1"
+    calls = d / "expected.vcf"
+
+    filtered = tmp_path / "calls.SNPfilter"
+    snpfilter.main(["--snp-file", str(calls), "--out-file", str(filtered),
+                    "--lq-output", str(tmp_path / "lq")])
+    pos = tmp_path / "sites.pos"
+    prepare_for_readcount.main(
+        ["--snp-file", str(filtered), "--out-file", str(pos)]
+    )
+    rc_file = tmp_path / "readcounts"
+    readcount.main(["-f", str(d / "ref.fa"), "-l", str(pos), "-b", "15",
+                    str(d / "tumor.bam"), str(rc_file)])
+
+    # structural sanity: every non-header filtered site got a line with
+    # consistent depth/strand accounting
+    n_sites = sum(
+        1 for ln in filtered.read_text().splitlines()
+        if not ln.startswith("#")
+    )
+    lines = rc_file.read_text().splitlines()
+    assert len(lines) == n_sites
+    for ln in lines:
+        f = ln.split("\t")
+        depth = int(f[3])
+        total = 0
+        for col in f[4:]:
+            parts = col.split(":")
+            assert len(parts) == 14
+            n, plus, minus = int(parts[1]), int(parts[5]), int(parts[6])
+            assert plus + minus == n
+            total += n
+        assert total == depth
+
+    # perl fpfilter and our port agree on our readcount output
+    subprocess.run(
+        ["perl", str(REF_SCRIPTS / "fpfilter.pl"), "--snp-file",
+         str(filtered), "--readcount-file", str(rc_file),
+         "--output-basename", str(tmp_path / "p")],
+        check=True, capture_output=True, cwd=tmp_path,
+    )
+    import contextlib
+    import io
+
+    with contextlib.redirect_stdout(io.StringIO()):
+        fpfilter.main(
+            ["--snp-file", str(filtered), "--readcount-file", str(rc_file),
+             "--output-basename", str(tmp_path / "q")]
+        )
+    _diff(tmp_path / "p.fp_pass", tmp_path / "q.fp_pass")
+    _diff(tmp_path / "p.fp_fail", tmp_path / "q.fp_fail")
+    # at least one variant must survive to .fp_pass on this fixture
+    assert (tmp_path / "q.fp_pass").read_text().strip()
+    highconfidence.main(
+        ["--snp-file", str(tmp_path / "q.fp_pass"),
+         "--out-file", str(tmp_path / "hc"),
+         "--lq-output", str(tmp_path / "hc.lq")]
+    )
+    assert (tmp_path / "hc").exists()
