@@ -80,6 +80,35 @@ def _ref_arrays(batch: PairedBatch, refcache: RefCache):
 
 
 _DEVICE_TABLES_CACHE: dict = {}
+_MESH_CACHE: dict = {}
+
+
+def data_mesh():
+    """1-D ("data",) mesh over all local devices, or None on a single
+    device.  The production dispatch shards every batch's leading axis
+    over this mesh (XLA inserts the collectives); set SNIPER_NO_MESH=1
+    to force single-device dispatch."""
+    if os.environ.get("SNIPER_NO_MESH"):
+        return None
+    n = jax.local_device_count()
+    if n <= 1:
+        return None
+    mesh = _MESH_CACHE.get(n)
+    if mesh is None:
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.local_devices()), ("data",))
+        _MESH_CACHE[n] = mesh
+    return mesh
+
+
+def _shard_batch(arr_h, mesh, batch_axis: int):
+    """Host array -> device array sharded over the mesh on batch_axis."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    spec = [None] * arr_h.ndim
+    spec[batch_axis] = "data"
+    return jax.device_put(arr_h, NamedSharding(mesh, PartitionSpec(*spec)))
 
 
 def get_device_tables(params: ModelParams, precision: str) -> "DeviceTables":
@@ -362,8 +391,19 @@ def _dispatch_fast_inner(plan, s, e, D, pu_t, pu_n, dtabs, cap_mapq):
     meta_h[0, :b0] = plan.d_t[s:e]
     meta_h[1, :b0] = plan.d_n[s:e]
     meta_h[2, :b0] = ref16
-    stacked = jnp.asarray(stacked_h)
-    meta = jnp.asarray(meta_h)
+    mesh = data_mesh()
+    backend = "auto"
+    if mesh is not None and B % mesh.size == 0:
+        # multi-chip: shard the batch axis over the data mesh; each
+        # device scores its slab, XLA gathers the compacted rows.  The
+        # Pallas kernel is not GSPMD-partitionable, so sharded dispatch
+        # pins the XLA accumulate.
+        stacked = _shard_batch(stacked_h, mesh, 1)
+        meta = _shard_batch(meta_h, mesh, 1)
+        backend = "xla"
+    else:
+        stacked = jnp.asarray(stacked_h)
+        meta = jnp.asarray(meta_h)
     cb_t = ColumnBatch(slots=stacked[0], depth=meta[0], ref16=meta[2],
                        n_keep=meta[3], rms_sum=meta[5])
     cb_n = ColumnBatch(slots=stacked[1], depth=meta[1], ref16=meta[2],
@@ -376,7 +416,7 @@ def _dispatch_fast_inner(plan, s, e, D, pu_t, pu_n, dtabs, cap_mapq):
         min_somatic_qual=p.min_somatic_qual,
         include_loh=p.include_loh, include_gor=p.include_gor,
         cap_mapq=p.cap_mapq, theta=p.theta, eta=p.eta,
-        max_emit=min(B, 16384),
+        max_emit=min(B, 16384), glf_backend=backend,
     )
     batch = PairedBatch(
         keys=plan.keys[s:e], ref16=ref16,
@@ -487,9 +527,7 @@ def submit_call_batch(
     p = dtabs.params
     # one stacked upload for the two big slot arrays, one for the small
     # metadata (per-array transfers pay interconnect latency each)
-    stacked = jnp.asarray(
-        np.stack([_pad_b(batch.tumor, B), _pad_b(batch.normal, B)])
-    )
+    stacked_h = np.stack([_pad_b(batch.tumor, B), _pad_b(batch.normal, B)])
     meta_rows = [
         _pad_b(batch.n_tumor, B),
         _pad_b(batch.n_normal, B),
@@ -500,11 +538,19 @@ def submit_call_batch(
             _pad_b(batch.nk_tumor, B), _pad_b(batch.nk_normal, B),
             _pad_b(batch.rms_tumor, B), _pad_b(batch.rms_normal, B),
         ]
-    meta = jnp.asarray(np.stack(meta_rows))
+    meta_h = np.stack(meta_rows)
+    mesh = data_mesh()
     fn = call_batch_compact if compact else call_batch
     kwargs = {}
     if compact:
         kwargs["max_emit"] = min(B, 16384)
+    if mesh is not None and B % mesh.size == 0:
+        stacked = _shard_batch(stacked_h, mesh, 1)
+        meta = _shard_batch(meta_h, mesh, 1)
+        kwargs["glf_backend"] = "xla"  # Pallas is not GSPMD-partitionable
+    else:
+        stacked = jnp.asarray(stacked_h)
+        meta = jnp.asarray(meta_h)
     if batch.packed16:
         cb_t = ColumnBatch(slots=stacked[0], depth=meta[0], ref16=meta[2],
                            n_keep=meta[3], rms_sum=meta[5])
