@@ -92,11 +92,75 @@ def encode_record(
     return struct.pack("<i", len(body)) + body
 
 
+def encode_records_fixed(
+    tid: int,
+    pos,
+    mapq,
+    flag,
+    seq_codes,
+    qual,
+    read_len: int,
+    name_width: int = 9,
+    rid0: int = 0,
+) -> bytes:
+    """Vectorized encoder for n same-shaped records (single read_len-M
+    CIGAR, fixed-width read names) — one numpy pass instead of n python
+    encode_record calls.  ``seq_codes``: [n, read_len] uint8 nt16 codes;
+    ``qual``: [n, read_len] uint8.  Returns the concatenated record
+    bytes."""
+    import numpy as np
+
+    n = len(pos)
+    l_name = name_width + 1  # +NUL
+    l_packed = (read_len + 1) // 2
+    body_len = 32 + l_name + 4 + l_packed + read_len
+    rec_len = 4 + body_len
+    out = np.zeros((n, rec_len), np.uint8)
+
+    def put_i32(byte_off, values):
+        out[:, byte_off : byte_off + 4] = (
+            np.asarray(values, np.int64)[:, None]
+            >> np.array([0, 8, 16, 24])[None, :]
+        ).astype(np.uint8)
+
+    put_i32(0, np.full(n, body_len))
+    put_i32(4, np.full(n, tid))
+    put_i32(8, pos)
+    out[:, 12] = l_name
+    out[:, 13] = np.asarray(mapq, np.uint8)
+    # bin (2 bytes) stays 0
+    out[:, 16] = 1  # n_cigar lo
+    f = np.asarray(flag, np.uint16)
+    out[:, 18] = (f & 0xFF).astype(np.uint8)
+    out[:, 19] = (f >> 8).astype(np.uint8)
+    put_i32(20, np.full(n, read_len))
+    put_i32(24, np.full(n, -1))  # next_tid
+    put_i32(28, np.full(n, -1))  # next_pos
+    # tlen (32..35) stays 0
+    names = np.frombuffer(
+        "".join(f"r{rid0 + i:0{name_width - 1}d}\x00" for i in range(n))
+        .encode(),
+        np.uint8,
+    ).reshape(n, l_name)
+    out[:, 36 : 36 + l_name] = names
+    cig_off = 36 + l_name
+    put_i32(cig_off, np.full(n, (read_len << 4) | 0))  # read_lenM
+    seq_off = cig_off + 4
+    hi = seq_codes[:, 0::2]
+    lo = seq_codes[:, 1::2]
+    packed = np.zeros((n, l_packed), np.uint8)
+    packed[:, : hi.shape[1]] = hi << 4
+    packed[:, : lo.shape[1]] |= lo
+    out[:, seq_off : seq_off + l_packed] = packed
+    out[:, seq_off + l_packed :] = qual
+    return out.tobytes()
+
+
 def write_bam(
     path: str | Path,
     ref_names: list[str],
     ref_lengths: list[int],
-    records: list[bytes],
+    records: list[bytes] | bytes,
     text: str | None = None,
 ) -> None:
     if text is None:
@@ -109,5 +173,5 @@ def write_bam(
     for n, l in zip(ref_names, ref_lengths):
         nb = n.encode() + b"\x00"
         out += struct.pack("<i", len(nb)) + nb + struct.pack("<i", l)
-    out += b"".join(records)
+    out += records if isinstance(records, bytes) else b"".join(records)
     Path(path).write_bytes(bgzf_compress(out))

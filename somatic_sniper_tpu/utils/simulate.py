@@ -202,3 +202,93 @@ def simulate_pair(outdir: str | Path, cfg: SimConfig = SimConfig()):
     write_bam(outdir / "normal.bam", names, lengths,
               make_reads(normal_vars, cfg.seed + 2))
     return outdir
+
+
+def simulate_pair_fast(outdir: str | Path, cfg: SimConfig = SimConfig()):
+    """Vectorized megabase-scale pair generator (benchmarks only).
+
+    Same output *shape* as :func:`simulate_pair` (ref.fa + sorted
+    tumor/normal BAMs + truth.tsv) but generated with numpy batch ops —
+    O(100x) faster, at the cost of simpler reads: pure read_len-M
+    CIGARs, no clips/indels/skips/filtered reads.  NOT byte-compatible
+    with simulate_pair for the same seed; existing fixtures and the
+    recorded bench baseline stay on the original generator.
+    """
+    outdir = Path(outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(cfg.seed)
+    names = [f"ctg{i+1}" for i in range(cfg.n_contigs)]
+    lengths = [cfg.contig_len] * cfg.n_contigs
+    L, R = cfg.contig_len, cfg.read_len
+
+    base_arr = np.frombuffer(b"ACGT", np.uint8)
+    refs_u8 = {}
+    fa = []
+    for nm in names:
+        r = base_arr[rng.integers(0, 4, L)]
+        refs_u8[nm] = r
+        fa.append(f">{nm}".encode())
+        fa.extend(r[i : i + 60].tobytes() for i in range(0, L, 60))
+    (outdir / "ref.fa").write_bytes(b"\n".join(fa) + b"\n")
+
+    # vectorized variant truth
+    truth_rows = []
+    tumor_v = {}
+    normal_v = {}
+    for ci, nm in enumerate(names):
+        u = rng.random(L)
+        alt = base_arr[
+            (np.searchsorted(base_arr, refs_u8[nm])  # ref index 0..3
+             + 1 + rng.integers(0, 3, L)) % 4
+        ]
+        vaf = rng.choice([0.5, 1.0], L)
+        som = u < cfg.somatic_rate
+        germ = (~som) & (u < cfg.somatic_rate + cfg.germline_rate)
+        tumor_v[ci] = (som | germ, alt, vaf)
+        normal_v[ci] = (germ, alt, vaf)
+        for p in np.nonzero(som | germ)[0]:
+            kind = "somatic" if som[p] else "germline"
+            truth_rows.append(
+                f"{nm}\t{p+1}\t{chr(refs_u8[nm][p])}\t{chr(alt[p])}"
+                f"\t{kind}:{vaf[p]}"
+            )
+    (outdir / "truth.tsv").write_text(
+        "\n".join(truth_rows) + ("\n" if truth_rows else "")
+    )
+
+    from ..constants import NT16_TABLE
+    from ..io.bam_writer import encode_records_fixed
+
+    def make(sample_v, seed):
+        srng = np.random.default_rng(seed)
+        blobs = []
+        rid0 = 0
+        for ci, nm in enumerate(names):
+            n = int(cfg.mean_depth * L / R)
+            starts = np.sort(srng.integers(0, L - R, n))
+            ref = refs_u8[nm]
+            gpos = starts[:, None] + np.arange(R)[None, :]
+            seq = ref[gpos].copy()
+            vmask, valt, vvaf = sample_v[ci]
+            hit = vmask[gpos] & (srng.random((n, R)) < vvaf[gpos])
+            seq[hit] = valt[gpos][hit]
+            err = srng.random((n, R)) < cfg.error_rate
+            seq[err] = base_arr[srng.integers(0, 4, int(err.sum()))]
+            quals = srng.integers(
+                cfg.baseq_lo, cfg.baseq_hi + 1, (n, R)
+            ).astype(np.uint8)
+            flags = np.where(
+                srng.random(n) < 0.5, BAM_FREVERSE, 0
+            ).astype(np.uint16)
+            blobs.append(encode_records_fixed(
+                ci, starts, np.full(n, 60, np.uint8), flags,
+                NT16_TABLE[seq], quals, R, rid0=rid0,
+            ))
+            rid0 += n
+        return b"".join(blobs)
+
+    write_bam(outdir / "tumor.bam", names, lengths,
+              make(tumor_v, cfg.seed + 1))
+    write_bam(outdir / "normal.bam", names, lengths,
+              make(normal_v, cfg.seed + 2))
+    return outdir
