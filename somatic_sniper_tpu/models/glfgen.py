@@ -477,8 +477,39 @@ def glfgen_batch(
             t = t + vals[:, k]
         return t
 
-    def coef_at(bar_e, tmp2):
-        return coef[bar_e, c_tot, tmp2]
+    if precision == "exact":
+        # f64 path: table gathers (runs on CPU where gathers are cheap)
+        def coef_at(bar_e, tmp2):
+            return coef[bar_e, c_tot, tmp2]
+
+        def lhet_at(cj, ck):
+            return lhet[cj, ck]
+    else:
+        # TPU fast path: vector gathers serialize on TPU (~14 ns/elem);
+        # one-hot MXU contractions against per-depth subtables return
+        # bit-identical f32 values (0/1 weights, HIGHEST precision) at a
+        # fraction of the cost.  All live indices are bounded by the
+        # (possibly rescaled) counted depth: bar_e in [4,63],
+        # c_tot/tmp2/c_j <= min(D, 255).
+        NK = int(min(cols.slots.shape[1], 255)) + 1
+        HI = jax.lax.Precision.HIGHEST
+        coef_sub = coef[4:64, :NK, :NK]
+        lhet_sub = lhet[:NK, :NK]
+        On_ct = jax.nn.one_hot(c_tot, NK, dtype=F32)
+        # R[b, e, k] = coef[e+4, c_tot[b], k] — shared by all 10 terms
+        R = jnp.einsum("bm,emk->bek", On_ct, coef_sub, precision=HI)
+
+        def coef_at(bar_e, tmp2):
+            oe = jax.nn.one_hot(bar_e - 4, 60, dtype=F32)
+            row = jnp.einsum("be,bek->bk", oe, R, precision=HI)
+            return (row * jax.nn.one_hot(tmp2, NK, dtype=F32)).sum(-1)
+
+        def lhet_at(cj, ck):
+            row = jnp.einsum(
+                "bm,mk->bk", jax.nn.one_hot(cj, NK, dtype=F32), lhet_sub,
+                precision=HI,
+            )
+            return (row * jax.nn.one_hot(ck, NK, dtype=F32)).sum(-1)
 
     def bar_e_of(tmp1, tmp3, tmp2):
         ratio = jnp.where(tmp2 > 0, tmp1 / jnp.where(tmp3 == 0, 1, tmp3), 0)
@@ -498,7 +529,7 @@ def glfgen_batch(
             tmp3 = others_sum(fsum, (j, k))
             tmp2 = others_sum_i(c, (j, k))
             bar_e = bar_e_of(tmp1, tmp3, tmp2)
-            lh = (acc_f(-4.343) * lhet[c[:, j], c[:, k]])
+            lh = (acc_f(-4.343) * lhet_at(c[:, j], c[:, k]))
             het_full = ((lh + tmp1.astype(acc_f)) + coef_at(bar_e, tmp2)).astype(F32)
             het_empty = lh.astype(F32)
             het = jnp.where(tmp2 > 0, het_full, het_empty)

@@ -135,23 +135,35 @@ def _kernel(slots_ref, meta_ref, esum_ref, fsum_ref, c_ref, aux_ref, *,
 
 
 def _kernel16(slots_ref, meta_ref, esum_ref, fsum_ref, c_ref, *,
-              D, theta32, eta32, log_theta):
+              SD, n_seg, theta32, eta32, log_theta):
     """Compact-u16 variant: slots are ``effq | base2<<8 | strand<<10``
     with only non-deleted entries present (first n_keep per row); rms/n
     are host-computed.  Rank order within a class reduces to
-    (effq desc, index) — equal-effq reads are interchangeable."""
-    s = slots_ref[:]  # i32 (widened outside: Mosaic's i16 convert loops)
-    n_keep = meta_ref[:, 0:1]
+    (effq desc, index) — equal-effq reads are interchangeable.
 
-    LD = D  # lane-aligned by the wrapper; padding columns are unoccupied
+    Lane packing: each 128-lane row holds ``n_seg`` independent columns
+    of depth ``SD`` (SD * n_seg == 128).  Shallow depth buckets would
+    otherwise waste 4-8x lanes on padding AND run the full 127-step
+    rank loop; packing cuts both the row count (x n_seg) and the loop
+    trip count (within-segment lane offsets only span
+    [1, SD) ∪ [128-SD+1, 128)).  Cross-segment pairs are rejected by
+    the segment-tagged class key."""
+    s = slots_ref[:]  # i32 (widened outside: Mosaic's i16 convert loops)
+
+    LD = SD * n_seg  # == 128
     j_idx = jax.lax.broadcasted_iota(I32, (TB, LD), 1)
-    occupied = j_idx < n_keep
+    seg = j_idx // SD  # lane's segment id (static SD)
+    # per-lane n_keep of the lane's segment
+    nk_lane = jnp.zeros((TB, LD), I32)
+    for si in range(n_seg):
+        nk_lane = jnp.where(seg == si, meta_ref[:, si : si + 1], nk_lane)
+    occupied = (j_idx - seg * SD) < nk_lane
 
     eff = s & 0xFF
     base2 = (s >> 8) & 3
     strand = (s >> 10) & 1
     k4 = base2
-    k8 = strand * 4 + base2
+    k8 = (strand * 4 + base2) + seg * 8  # segment-tagged class
     upd = occupied & (eff > 0)
     k8m = jnp.where(upd, k8, jnp.full_like(k8, -1))
 
@@ -173,10 +185,19 @@ def _kernel16(slots_ref, meta_ref, esum_ref, fsum_ref, c_ref, *,
         return (rank + jnp.where((k8_r == k8) & higher, ones, zeros),
                 tvec + ones)
 
-    rank, _ = jax.lax.fori_loop(
-        jnp.int32(1), jnp.int32(LD), body,
-        (jnp.zeros((TB, LD), I32), ones),
-    )
+    init = (jnp.zeros((TB, LD), I32), ones)
+    if n_seg == 1:
+        rank, _ = jax.lax.fori_loop(
+            jnp.int32(1), jnp.int32(LD), body, init)
+    else:
+        # within-segment pairs only occur at these rotation offsets; the
+        # middle [SD, 128-SD] range can never match a class
+        carry = jax.lax.fori_loop(jnp.int32(1), jnp.int32(SD), body, init)
+        rank_mid, tvec_mid = carry
+        carry = (rank_mid, tvec_mid + jnp.full((TB, LD), LD - 2 * SD + 1,
+                                               I32))
+        rank, _ = jax.lax.fori_loop(
+            jnp.int32(LD - SD + 1), jnp.int32(LD), body, carry)
 
     r = jnp.minimum(rank, jnp.full_like(rank, 255)).astype(F32)
     fkw = jnp.where(
@@ -186,17 +207,21 @@ def _kernel16(slots_ref, meta_ref, esum_ref, fsum_ref, c_ref, *,
     )
     eterm = fkw * eff.astype(F32)
 
+    # per-(segment, base) sums, seg-major so the [Bp/n_seg, n_seg*4]
+    # output reshapes straight back to [Bp, 4]
     esum_ref[:] = jnp.stack(
-        [jnp.where(k4 == k, eterm, fzeros).sum(axis=1) for k in range(4)],
+        [jnp.where((seg == si) & (k4 == k), eterm, fzeros).sum(axis=1)
+         for si in range(n_seg) for k in range(4)],
         axis=1,
     )
     fsum_ref[:] = jnp.stack(
-        [jnp.where(k4 == k, fkw, fzeros).sum(axis=1) for k in range(4)],
+        [jnp.where((seg == si) & (k4 == k), fkw, fzeros).sum(axis=1)
+         for si in range(n_seg) for k in range(4)],
         axis=1,
     )
     c_ref[:] = jnp.stack(
-        [jnp.where(upd & (k4 == k), ones, zeros).sum(axis=1)
-         for k in range(4)],
+        [jnp.where(upd & (seg == si) & (k4 == k), ones, zeros).sum(axis=1)
+         for si in range(n_seg) for k in range(4)],
         axis=1,
     )
 
@@ -204,17 +229,26 @@ def _kernel16(slots_ref, meta_ref, esum_ref, fsum_ref, c_ref, *,
 def accumulate16(slots16, n_keep, theta: float = 0.85, eta: float = 0.03,
                  interpret: bool = False):
     """(esum f32[B,4], fsum f32[B,4], c i32[B,4]) over the compact u16
-    encoding — drop-in replacement for glfgen._fast_accumulate16."""
+    encoding — drop-in replacement for glfgen._fast_accumulate16.
+
+    Shallow depth buckets are lane-packed: n_seg = 128/SD independent
+    columns share each 128-lane row (see _kernel16)."""
     B, D = slots16.shape
-    Bp = ((B + TB - 1) // TB) * TB
-    Dp = max(D, 128)  # dynamic lane rotations need 128-aligned lanes
-    if Bp != B or Dp != D:
-        slots16 = jnp.pad(slots16, ((0, Bp - B), (0, Dp - D)))
+    SD = 16
+    while SD < D:
+        SD *= 2
+    SD = min(SD, 128)
+    n_seg = 128 // SD
+    # pad the batch to a multiple of TB * n_seg and the depth to SD
+    Bp = ((B + TB * n_seg - 1) // (TB * n_seg)) * (TB * n_seg)
+    if Bp != B or SD != D:
+        slots16 = jnp.pad(slots16, ((0, Bp - B), (0, SD - D)))
         n_keep = jnp.pad(n_keep, (0, Bp - B))
+    rows = Bp // n_seg
     # widen on-device before the kernel: the accelerator-link transfer
     # stays u16; Mosaic's own int16->int32 convert lowering recurses
-    si = slots16.astype(jnp.int32)
-    meta = jnp.stack([n_keep.astype(I32), n_keep.astype(I32)], axis=1)
+    si = slots16.astype(jnp.int32).reshape(rows, n_seg * SD)
+    meta = n_keep.astype(I32).reshape(rows, n_seg)
 
     theta32 = np.float32(theta)
     eta32 = np.float32(eta)
@@ -223,33 +257,38 @@ def accumulate16(slots16, n_keep, theta: float = 0.85, eta: float = 0.03,
         if theta32 > 0 else np.float32(-1e30)
     )
     kern = functools.partial(
-        _kernel16, D=Dp, theta32=theta32, eta32=eta32, log_theta=log_theta,
+        _kernel16, SD=SD, n_seg=n_seg, theta32=theta32, eta32=eta32,
+        log_theta=log_theta,
     )
     esum, fsum, c = pl.pallas_call(
         kern,
-        grid=(Bp // TB,),
+        grid=(rows // TB,),
         in_specs=[
-            pl.BlockSpec((TB, Dp), lambda i: (i, 0),
+            pl.BlockSpec((TB, n_seg * SD), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 2), lambda i: (i, 0),
+            pl.BlockSpec((TB, n_seg), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TB, 4), lambda i: (i, 0),
+            pl.BlockSpec((TB, n_seg * 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 4), lambda i: (i, 0),
+            pl.BlockSpec((TB, n_seg * 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 4), lambda i: (i, 0),
+            pl.BlockSpec((TB, n_seg * 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Bp, 4), F32),
-            jax.ShapeDtypeStruct((Bp, 4), F32),
-            jax.ShapeDtypeStruct((Bp, 4), I32),
+            jax.ShapeDtypeStruct((rows, n_seg * 4), F32),
+            jax.ShapeDtypeStruct((rows, n_seg * 4), F32),
+            jax.ShapeDtypeStruct((rows, n_seg * 4), I32),
         ],
         interpret=interpret,
     )(si, meta)
-    return esum[:B], fsum[:B], c[:B]
+    return (
+        esum.reshape(Bp, 4)[:B],
+        fsum.reshape(Bp, 4)[:B],
+        c.reshape(Bp, 4)[:B],
+    )
 
 
 def accumulate(slots, depth, ref16, theta: float = 0.85, eta: float = 0.03,
