@@ -22,6 +22,9 @@
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <dlfcn.h>
+
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -104,18 +107,63 @@ static bool scan_bgzf(const std::vector<uint8_t>& raw,
     return true;
 }
 
+// libdeflate (when present) decompresses raw DEFLATE blocks 2-3x faster
+// than zlib; resolved at runtime via dlopen so the build needs no new
+// link dependency and machines without it fall back to zlib.
+typedef void* (*ld_alloc_fn)();
+typedef int (*ld_decomp_fn)(void*, const void*, size_t, void*, size_t,
+                            size_t*);
+static ld_alloc_fn g_ld_alloc = nullptr;
+static ld_decomp_fn g_ld_decomp = nullptr;
+
+static void libdeflate_probe() {
+    static std::once_flag once;
+    std::call_once(once, []() {
+        void* h = dlopen("libdeflate.so.0", RTLD_NOW);
+        if (!h) h = dlopen("libdeflate.so", RTLD_NOW);
+        if (!h) return;
+        auto a = (ld_alloc_fn)dlsym(h, "libdeflate_alloc_decompressor");
+        auto d = (ld_decomp_fn)dlsym(h, "libdeflate_deflate_decompress");
+        if (a && d) {
+            g_ld_alloc = a;
+            g_ld_decomp = d;
+        }
+    });
+}
+
 static bool inflate_block(const uint8_t* src, int32_t src_len, uint8_t* dst,
                           int32_t dst_len) {
-    z_stream zs;
-    memset(&zs, 0, sizeof(zs));
-    if (inflateInit2(&zs, -15) != Z_OK) return false;
-    zs.next_in = const_cast<uint8_t*>(src);
-    zs.avail_in = src_len;
-    zs.next_out = dst;
-    zs.avail_out = dst_len;
-    int ret = inflate(&zs, Z_FINISH);
-    inflateEnd(&zs);
-    return ret == Z_STREAM_END && zs.avail_out == 0;
+    if (g_ld_decomp) {
+        // one decompressor per worker thread, reused across blocks
+        static thread_local void* dec = nullptr;
+        if (!dec) dec = g_ld_alloc();
+        if (dec) {
+            size_t actual = 0;
+            int r = g_ld_decomp(dec, src, (size_t)src_len, dst,
+                                (size_t)dst_len, &actual);
+            return r == 0 /* LIBDEFLATE_SUCCESS */ &&
+                   actual == (size_t)dst_len;
+        }
+    }
+    // zlib fallback: thread-local stream reused via inflateReset2 (a
+    // fresh inflateInit2/inflateEnd per 64 KB block costs real time)
+    static thread_local z_stream* zsp = nullptr;
+    if (!zsp) {
+        zsp = new z_stream();
+        memset(zsp, 0, sizeof(*zsp));
+        if (inflateInit2(zsp, -15) != Z_OK) {
+            delete zsp;
+            zsp = nullptr;
+            return false;
+        }
+    }
+    if (inflateReset2(zsp, -15) != Z_OK) return false;
+    zsp->next_in = const_cast<uint8_t*>(src);
+    zsp->avail_in = src_len;
+    zsp->next_out = dst;
+    zsp->avail_out = dst_len;
+    int ret = inflate(zsp, Z_FINISH);
+    return ret == Z_STREAM_END && zsp->avail_out == 0;
 }
 
 static bool bgzf_decompress(const std::vector<uint8_t>& raw,
@@ -126,6 +174,7 @@ static bool bgzf_decompress(const std::vector<uint8_t>& raw,
     if (!scan_bgzf(raw, blocks, total, err)) return false;
     out.resize(total);
     if (n_threads < 1) n_threads = 1;
+    libdeflate_probe();
     std::atomic<size_t> next(0);
     std::atomic<bool> ok(true);
     auto worker = [&]() {
@@ -472,6 +521,7 @@ NativeBam* bam_load_region(const char* path, const int64_t* chunks,
                 (void)payload;
             }
             buf.resize(total);
+            libdeflate_probe();
             std::atomic<size_t> next(0);
             std::atomic<bool> ok(true);
             auto worker = [&]() {
