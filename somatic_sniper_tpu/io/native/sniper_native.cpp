@@ -595,10 +595,26 @@ static NativePileup* pileup_build_impl(const NativeBam* nb, int flag_mask,
     const int fmask = flag_mask | 0x4;  // BAM_FUNMAP always filtered
     auto* st = new PileupStorage();
 
-    // pass 1: filtered read list + contig-transition drop quirk
+    // pass 1: filtered read list + contig-transition drop quirk.
+    // Coordinate-sortedness is enforced here because the counting build
+    // below silently assumes it (the reference abort()s on unsorted
+    // input, sniper_pileup.c:212).
     std::vector<int64_t> ridx;
     ridx.reserve(nb->n_reads);
+    int32_t prev_tid = -1;
+    int64_t prev_pos = -1;
     for (int64_t r = 0; r < nb->n_reads; ++r) {
+        int32_t t = nb->tid[r];
+        if (t >= 0) {
+            if (t < prev_tid ||
+                (t == prev_tid && (int64_t)nb->pos[r] < prev_pos)) {
+                g_err = "BAM is not coordinate-sorted";
+                delete st;
+                return nullptr;
+            }
+            prev_tid = t;
+            prev_pos = nb->pos[r];
+        }
         if ((nb->flag[r] & fmask) == 0 && nb->mapq[r] >= mapq_thresh)
             ridx.push_back(r);
     }

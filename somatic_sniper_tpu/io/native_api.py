@@ -52,7 +52,10 @@ def load_and_columnize(
         )
         np_ = lib.pileup_build(nb, flag_mask, mapq_thresh)
         if not np_:
-            raise IOError(f"{path}: pileup build failed")
+            raise IOError(
+                f"{path}: pileup build failed: "
+                f"{lib.sniper_last_error().decode()}"
+            )
         owner = _PileupHandle(lib, np_)
         pc = np_.contents
         ne, nc = pc.n_entries, pc.n_cols

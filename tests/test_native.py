@@ -78,3 +78,21 @@ def test_native_layer_under_asan(data_dir, tmp_path):
     )
     assert r.returncode == 0, r.stdout + r.stderr
     assert r.stdout.startswith("ok ")
+
+
+def test_unsorted_bam_rejected(tmp_path):
+    """The counting pileup build requires coordinate-sorted input and
+    must reject violations loudly (the reference abort()s,
+    sniper_pileup.c:212)."""
+    from somatic_sniper_tpu.io.bam_writer import encode_record, write_bam
+
+    recs = [
+        encode_record(0, 500, 60, 0, "ACGT" * 10, bytes([30] * 40),
+                      [(40, "M")], read_name="r1"),
+        encode_record(0, 100, 60, 0, "ACGT" * 10, bytes([30] * 40),
+                      [(40, "M")], read_name="r2"),  # goes backwards
+    ]
+    bad = tmp_path / "unsorted.bam"
+    write_bam(bad, ["c1"], [1000], recs)
+    with pytest.raises(IOError, match="not coordinate-sorted"):
+        native_api.load_and_columnize(str(bad))
