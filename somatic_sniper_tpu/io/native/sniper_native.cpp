@@ -305,6 +305,11 @@ NativeBam* bam_load(const char* path, int n_threads) {
     }
 
     const int64_t n = (int64_t)buf.size();
+    // reserve to the decompressed size: seq unpacks to ~2x its packed
+    // bytes but the record stream also carries names/cigars/quals, so
+    // buf.size() over-reserves mildly and avoids doubling reallocations
+    st->seq.reserve((size_t)n);
+    st->qual.reserve((size_t)n / 2);
     // single pass decode
     while (p + 4 <= n) {
         int32_t bs = rd_i32(&buf[p]);
@@ -404,10 +409,18 @@ static void decode_record(BamStorage* st, const uint8_t* r) {
         st->cigar.push_back(rd_u32(cg + 4 * k));
     st->cigar_off.push_back((int64_t)st->cigar.size());
     const uint8_t* sq = cg + 4 * n_cigar;
-    for (int32_t k = 0; k < l_seq; ++k) {
-        uint8_t byte = sq[k / 2];
-        st->seq.push_back(k % 2 ? (byte & 0xF) : (byte >> 4));
+    // bulk nibble unpack (a per-base push_back pays a capacity check and
+    // periodic whole-vector reallocation copies across ~30M bases)
+    size_t soff = st->seq.size();
+    st->seq.resize(soff + (size_t)l_seq);
+    uint8_t* dst = st->seq.data() + soff;
+    int32_t pairs = l_seq / 2;
+    for (int32_t k = 0; k < pairs; ++k) {
+        uint8_t byte = sq[k];
+        dst[2 * k] = byte >> 4;
+        dst[2 * k + 1] = byte & 0xF;
     }
+    if (l_seq & 1) dst[l_seq - 1] = sq[pairs] >> 4;
     const uint8_t* qu = sq + (l_seq + 1) / 2;
     st->qual.insert(st->qual.end(), qu, qu + l_seq);
     st->seq_off.push_back((int64_t)st->seq.size());
