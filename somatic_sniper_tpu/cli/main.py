@@ -97,6 +97,31 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _maybe_init_distributed(args) -> None:
+    """Multi-host pod-slice initialization (opt-in via env so single-host
+    runs never touch jax.distributed):
+
+        SNIPER_COORDINATOR=host:port SNIPER_NUM_PROCESSES=N \\
+        SNIPER_PROCESS_ID=I python -m somatic_sniper_tpu.cli.main ...
+
+    Each process then defaults to genome shard I of N (overridable with
+    --shards/--shard-index) and scores its span on its local devices;
+    per-process outputs concatenate via scripts.merge_shards."""
+    coord = os.environ.get("SNIPER_COORDINATOR")
+    if not coord:
+        return
+    import jax
+
+    num = int(os.environ["SNIPER_NUM_PROCESSES"])
+    pid = int(os.environ["SNIPER_PROCESS_ID"])
+    jax.distributed.initialize(
+        coordinator_address=coord, num_processes=num, process_id=pid,
+    )
+    if args.shards == 1 and args.shard_index is None:
+        args.shards = num
+        args.shard_index = pid
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     import jax
@@ -115,6 +140,7 @@ def main(argv=None) -> int:
     if args.version:
         print(f"Somatic Sniper TPU version {__version__}")
         return 0
+    _maybe_init_distributed(args)
     if not (args.tumor_bam and args.normal_bam and args.output):
         build_parser().print_help(sys.stderr)
         return 1

@@ -99,3 +99,25 @@ def test_cli_manifest_resume(data_dir, tmp_path):
     assert main(base) == 0
     assert _filtered(out) == first
     assert len(Manifest(man).done) == 6
+
+
+def test_merge_shards_matches_single_run(data_dir, tmp_path):
+    """Separate per-process shard outputs merge byte-identically to one
+    single-process run (headers kept from the first shard only)."""
+    from somatic_sniper_tpu.cli.main import main
+    from somatic_sniper_tpu.scripts.merge_shards import merge
+
+    d = data_dir / "e2e" / "sim1"
+    base = ["-F", "vcf", "-f", str(d / "ref.fa"),
+            str(d / "tumor.bam"), str(d / "normal.bam")]
+    single = tmp_path / "single.vcf"
+    assert main([*base, str(single)]) == 0
+    shard_files = []
+    for s in range(2):
+        out = tmp_path / f"shard{s}.vcf"
+        assert main([*base, "--shards", "2", "--shard-index", str(s),
+                     "--window-size", "1250", str(out)]) == 0
+        shard_files.append(str(out))
+    merged = tmp_path / "merged.vcf"
+    merge(str(merged), shard_files)
+    assert merged.read_bytes() == single.read_bytes()
