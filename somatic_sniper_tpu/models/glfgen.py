@@ -358,6 +358,12 @@ def _pallas_backend() -> str:
     forced = os.environ.get("SNIPER_GLFGEN_BACKEND")
     if forced:
         return forced
+    if jax.config.jax_enable_x64:
+        # x64 + Mosaic trips an unbounded recursion in the i64 convert
+        # lowering; production fast-path runs never enable x64 (only the
+        # exact path does, and it never reaches here), so this only
+        # affects mixed test configurations
+        return "xla"
     try:
         plat = jax.devices()[0].platform
     except RuntimeError:

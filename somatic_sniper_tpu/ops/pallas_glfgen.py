@@ -42,8 +42,11 @@ F32 = jnp.float32
 # glfgen -> pallas) can exceed CPython's default recursion limit.
 import sys as _sys
 
-if _sys.getrecursionlimit() < 10000:
-    _sys.setrecursionlimit(10000)
+if _sys.getrecursionlimit() < 50000:
+    _sys.setrecursionlimit(50000)
+# Mosaic's recursive lowering also needs real C-stack headroom beyond
+# the interpreter's frame budget; 50k python frames fit comfortably in
+# the default 8 MiB thread stack for these shallow helper frames.
 
 TB = 256  # batch-axis block rows per grid step
 
