@@ -490,13 +490,22 @@ def glfgen_batch(
 
         def lhet_at(cj, ck):
             return lhet[cj, ck]
+    elif cols.slots.shape[1] > 64:
+        # deep buckets: the one-hot path below materializes an
+        # [B, 60, NK] f32 intermediate (~1 GB at NK=129) — plain gathers
+        # (~14 ns/element) win once NK outgrows VMEM-friendly sizes
+        def coef_at(bar_e, tmp2):
+            return coef[bar_e, c_tot, tmp2]
+
+        def lhet_at(cj, ck):
+            return lhet[cj, ck]
     else:
-        # TPU fast path: vector gathers serialize on TPU (~14 ns/elem);
-        # one-hot MXU contractions against per-depth subtables return
-        # bit-identical f32 values (0/1 weights, HIGHEST precision) at a
-        # fraction of the cost.  All live indices are bounded by the
-        # (possibly rescaled) counted depth: bar_e in [4,63],
-        # c_tot/tmp2/c_j <= min(D, 255).
+        # TPU fast path, shallow buckets (the bulk of 30x data): vector
+        # gathers serialize on TPU (~14 ns/elem); one-hot MXU
+        # contractions against per-depth subtables return bit-identical
+        # f32 values (0/1 weights, HIGHEST precision) at a fraction of
+        # the cost.  All live indices are bounded by the counted depth:
+        # bar_e in [4,63], c_tot/tmp2/c_j <= D.
         NK = int(min(cols.slots.shape[1], 255)) + 1
         HI = jax.lax.Precision.HIGHEST
         coef_sub = coef[4:64, :NK, :NK]
