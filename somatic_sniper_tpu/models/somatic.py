@@ -254,3 +254,65 @@ def call_batch_compact(
     ]
     rows = jnp.stack(cols, axis=1)
     return CompactResult(count=res.emit.sum().astype(I32), rows=rows)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "use_joint", "cap_mapq", "theta", "eta", "max_emit", "glf_backend",
+    ),
+)
+def call_batch_packed(
+    stacked,
+    meta,
+    fk64,
+    coef64,
+    lhet64,
+    solo_prior,
+    joint_prior,
+    qadd_table,
+    q_r_int: int,
+    use_joint: bool = False,
+    min_somatic_qual: int = 15,
+    include_loh: bool = True,
+    include_gor: bool = True,
+    cap_mapq: int = 60,
+    theta: float = 0.85,
+    eta: float = 0.03,
+    max_emit: int = 16384,
+    glf_backend: str = "auto",
+) -> CompactResult:
+    """Fast-path entry over bit-packed inputs (D <= 255 depth buckets).
+
+    ``stacked`` is the [2, B, D] u16 slot stack (tumor, normal);
+    ``meta`` is [3, B] int32 with every per-column scalar bit-packed:
+
+    * ``meta[0] = rms_sum_tumor | ref16 << 24`` — rms_sum < 255*255^2
+      < 2^24 whenever D <= 255, so the reference code rides the top bits
+    * ``meta[1] = rms_sum_normal``
+    * ``meta[2] = d_t | d_n << 8 | nk_t << 16 | nk_n << 24`` (all <= D)
+
+    12 B/column of metadata instead of the 28 B of the row-per-field
+    layout — on tunneled/PCIe hosts the upload link is the end-to-end
+    bottleneck, so metadata bytes are throughput.  Unpacking happens
+    inside the jit (free fusion); ``meta[2] >> 24`` is an arithmetic
+    shift but the ``& 0xFF`` mask recovers the unsigned byte.
+    """
+    rms_t = meta[0] & 0xFFFFFF
+    ref16 = (meta[0] >> 24) & 0xF
+    rms_n = meta[1]
+    d_t = meta[2] & 0xFF
+    d_n = (meta[2] >> 8) & 0xFF
+    nk_t = (meta[2] >> 16) & 0xFF
+    nk_n = (meta[2] >> 24) & 0xFF
+    cb_t = ColumnBatch(slots=stacked[0], depth=d_t, ref16=ref16,
+                       n_keep=nk_t, rms_sum=rms_t)
+    cb_n = ColumnBatch(slots=stacked[1], depth=d_n, ref16=ref16,
+                       n_keep=nk_n, rms_sum=rms_n)
+    return call_batch_compact(
+        cb_t, cb_n, fk64, coef64, lhet64, solo_prior, joint_prior,
+        qadd_table, q_r_int, precision="fast", use_joint=use_joint,
+        min_somatic_qual=min_somatic_qual, include_loh=include_loh,
+        include_gor=include_gor, cap_mapq=cap_mapq, theta=theta, eta=eta,
+        max_emit=max_emit, glf_backend=glf_backend,
+    )

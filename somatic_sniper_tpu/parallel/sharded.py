@@ -129,6 +129,7 @@ def call_pair_windows(
         RefCache,
         can_plan,
         get_device_tables,
+        _exact_cpu_ctx,
         _make_ref16_fn,
         _prefilter_flags,
         _ref_arrays,
@@ -150,7 +151,8 @@ def call_pair_windows(
     ref_blob, ref_off = _ref_blob(fasta, header)
     packed16 = precision == "fast" and ref_blob is not None
     ref16_fn = _make_ref16_fn(ref_blob, ref_off) if packed16 else None
-    dtabs = get_device_tables(params, precision)
+    with _exact_cpu_ctx(precision):
+        dtabs = get_device_tables(params, precision)
 
     carry_t = _QuirkCarry(tumor_bam, idx_t, header,
                           params.flag_mask, params.mapq_threshold)
@@ -190,24 +192,25 @@ def call_pair_windows(
         pu_t, pu_n = f_t.result(), f_n.result()
         if i + 1 < len(todo):
             inflight = _submit_load(todo[i + 1][1])
-        if can_plan(pu_t, pu_n, packed16):
-            pending = submit_batches_planned(
-                pu_t, pu_n, dtabs, max_batch, tabs, ref_blob, ref_off,
-                params.cap_mapq, prefilter,
-            )
-        else:
-            drop_t = drop_n = None
-            if prefilter:
-                drop_t, drop_n = _prefilter_flags(
-                    pu_t, pu_n, ref_blob, ref_off, tabs
+        with _exact_cpu_ctx(precision):
+            if can_plan(pu_t, pu_n, packed16):
+                pending = submit_batches_planned(
+                    pu_t, pu_n, dtabs, max_batch, tabs, ref_blob, ref_off,
+                    params.cap_mapq, prefilter,
                 )
-            pending = submit_batches(
-                pu_t, pu_n, refcache, dtabs, precision, max_batch,
-                drop_t, drop_n, packed16, ref16_fn, params.cap_mapq,
+            else:
+                drop_t = drop_n = None
+                if prefilter:
+                    drop_t, drop_n = _prefilter_flags(
+                        pu_t, pu_n, ref_blob, ref_off, tabs
+                    )
+                pending = submit_batches(
+                    pu_t, pu_n, refcache, dtabs, precision, max_batch,
+                    drop_t, drop_n, packed16, ref16_fn, params.cap_mapq,
+                )
+            records = collect_pending(
+                pending, pu_t, pu_n, refcache, dtabs, precision
             )
-        records = collect_pending(
-            pending, pu_t, pu_n, refcache, dtabs, precision
-        )
         yield wi, (tid, beg, end), [r for _, r in records]
     ex.shutdown(wait=True)
 

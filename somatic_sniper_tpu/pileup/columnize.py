@@ -243,7 +243,15 @@ def columnize(
     )
 
 
-DEPTH_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+# Depth-axis padding buckets.  Finer steps through the 16-128 range
+# matter: at 30x coverage the shared-column depth distribution is tight
+# (p25~29, p99~44 on the bench pair), and every padded slot is wasted
+# upload bandwidth on hosts where the accelerator link is the
+# end-to-end bottleneck.  The Pallas kernel lane-packs each bucket up
+# to the next power of two internally, so intermediate sizes cost no
+# extra compute — only fewer transfer bytes.
+DEPTH_BUCKETS = (8, 16, 24, 32, 40, 48, 64, 96, 128, 256, 512, 1024,
+                 2048, 4096, 8192)
 
 
 def bucket_for(depth: int) -> int:

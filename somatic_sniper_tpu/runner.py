@@ -27,6 +27,7 @@ from .models.somatic import (
     CallResult,
     call_batch,
     call_batch_compact,
+    call_batch_packed,
 )
 from .models.tables import ModelParams, ModelTables, build_tables
 from .output.dqstats import get_dqstats, get_dqstats_batch
@@ -81,6 +82,30 @@ def _ref_arrays(batch: PairedBatch, refcache: RefCache):
 
 _DEVICE_TABLES_CACHE: dict = {}
 _MESH_CACHE: dict = {}
+
+
+def _exact_cpu_ctx(precision: str):
+    """Pin exact-precision compute to the host CPU backend.
+
+    The exact path replicates the reference C tool's double-precision
+    arithmetic (reference sniper_maqcns.c:127-248); f64 on TPU is
+    software-emulated and, through a tunneled device link, runs orders
+    of magnitude slower than the host CPU while producing the same
+    bits.  Fast precision is unaffected.  Set SNIPER_EXACT_DEVICE=
+    default to keep exact compute on the session's default device."""
+    import contextlib
+
+    if (
+        precision != "exact"
+        or os.environ.get("SNIPER_EXACT_DEVICE") == "default"
+    ):
+        return contextlib.nullcontext()
+    try:
+        if jax.devices()[0].platform == "cpu":
+            return contextlib.nullcontext()
+        return jax.default_device(jax.devices("cpu")[0])
+    except Exception:
+        return contextlib.nullcontext()
 
 
 def data_mesh():
@@ -250,36 +275,39 @@ def call_pair(
     prefilter: bool = True,
 ) -> Iterator[SniperRecord]:
     """Run the full caller, yielding emitted records in coordinate order."""
-    header_t, pu_t, header_n, pu_n = _load_pileups(
-        tumor_bam, normal_bam, params
-    )
-    fasta = FastaFile(ref_fasta) if ref_fasta else None
-    refcache = RefCache(fasta, header_t)
-    tabs = build_tables(params)
-    ref_blob, ref_off = _ref_blob(fasta, header_t)
-    # fast path ships compact u16 batches (half the accelerator-link
-    # bytes); the exact path needs the full u32 slots
-    packed16 = precision == "fast" and ref_blob is not None
-    dtabs = get_device_tables(params, precision)
-    if can_plan(pu_t, pu_n, packed16):
-        pending = submit_batches_planned(
-            pu_t, pu_n, dtabs, max_batch, tabs, ref_blob, ref_off,
-            params.cap_mapq, prefilter,
+    with _exact_cpu_ctx(precision):
+        header_t, pu_t, header_n, pu_n = _load_pileups(
+            tumor_bam, normal_bam, params
         )
-    else:
-        drop_t = drop_n = None
-        if prefilter:
-            drop_t, drop_n = _prefilter_flags(
-                pu_t, pu_n, ref_blob, ref_off, tabs
+        fasta = FastaFile(ref_fasta) if ref_fasta else None
+        refcache = RefCache(fasta, header_t)
+        tabs = build_tables(params)
+        ref_blob, ref_off = _ref_blob(fasta, header_t)
+        # fast path ships compact u16 batches (half the accelerator-link
+        # bytes); the exact path needs the full u32 slots
+        packed16 = precision == "fast" and ref_blob is not None
+        dtabs = get_device_tables(params, precision)
+        if can_plan(pu_t, pu_n, packed16):
+            pending = submit_batches_planned(
+                pu_t, pu_n, dtabs, max_batch, tabs, ref_blob, ref_off,
+                params.cap_mapq, prefilter,
             )
-        ref16_fn = _make_ref16_fn(ref_blob, ref_off) if packed16 else None
-        pending = submit_batches(
-            pu_t, pu_n, refcache, dtabs, precision, max_batch,
-            drop_t, drop_n, packed16, ref16_fn, params.cap_mapq,
+        else:
+            drop_t = drop_n = None
+            if prefilter:
+                drop_t, drop_n = _prefilter_flags(
+                    pu_t, pu_n, ref_blob, ref_off, tabs
+                )
+            ref16_fn = (
+                _make_ref16_fn(ref_blob, ref_off) if packed16 else None
+            )
+            pending = submit_batches(
+                pu_t, pu_n, refcache, dtabs, precision, max_batch,
+                drop_t, drop_n, packed16, ref16_fn, params.cap_mapq,
+            )
+        records = collect_pending(
+            pending, pu_t, pu_n, refcache, dtabs, precision
         )
-    records = collect_pending(
-        pending, pu_t, pu_n, refcache, dtabs, precision
-    )
     for _, rec in records:
         yield rec
 
@@ -381,49 +409,107 @@ def _dispatch_fast_inner(plan, s, e, D, pu_t, pu_n, dtabs, cap_mapq):
     B = _b_bucket(b0)
     ref16 = plan.ref16[s:e]
     stacked_h = np.zeros((2, B, D), np.uint16)
-    meta_h = np.zeros((7, B), np.int32)
-    pu_t.owner.pad16_into(plan.ti[s:e], ref16, D, cap_mapq,
-                          stacked_h[0, :b0], meta_h[3, :b0],
-                          meta_h[5, :b0])
-    pu_n.owner.pad16_into(plan.ni[s:e], ref16, D, cap_mapq,
-                          stacked_h[1, :b0], meta_h[4, :b0],
-                          meta_h[6, :b0])
-    meta_h[0, :b0] = plan.d_t[s:e]
-    meta_h[1, :b0] = plan.d_n[s:e]
-    meta_h[2, :b0] = ref16
-    mesh = data_mesh()
-    backend = "auto"
-    if mesh is not None and B % mesh.size == 0:
-        # multi-chip: shard the batch axis over the data mesh; each
-        # device scores its slab, XLA gathers the compacted rows.  The
-        # Pallas kernel is not GSPMD-partitionable, so sharded dispatch
-        # pins the XLA accumulate.
-        stacked = _shard_batch(stacked_h, mesh, 1)
-        meta = _shard_batch(meta_h, mesh, 1)
-        backend = "xla"
+    if D <= 255:
+        # bit-packed metadata: 12 B/column instead of 28 (the upload
+        # link is the end-to-end bottleneck on tunneled hosts).  Layout
+        # documented on models.somatic.call_batch_packed; rms_sum <
+        # 255*cap^2 < 2^24 whenever D <= 255, so ref16 rides bits 24-27.
+        meta_h = np.zeros((3, B), np.int32)
+        nk_t = np.empty(b0, np.int32)
+        nk_n = np.empty(b0, np.int32)
+        pu_t.owner.pad16_into(plan.ti[s:e], ref16, D, cap_mapq,
+                              stacked_h[0, :b0], nk_t, meta_h[0, :b0])
+        pu_n.owner.pad16_into(plan.ni[s:e], ref16, D, cap_mapq,
+                              stacked_h[1, :b0], nk_n, meta_h[1, :b0])
+        rms_t = meta_h[0, :b0].copy()
+        rms_n = meta_h[1, :b0].copy()
+        meta_h[0, :b0] |= ref16.astype(np.int32) << 24
+        mv = meta_h.view(np.uint32)
+        mv[2, :b0] = (
+            plan.d_t[s:e].astype(np.uint32)
+            | (plan.d_n[s:e].astype(np.uint32) << 8)
+            | (nk_t.astype(np.uint32) << 16)
+            | (nk_n.astype(np.uint32) << 24)
+        )
+        mesh = data_mesh()
+        backend = "auto"
+        if mesh is not None and B % mesh.size == 0:
+            # multi-chip: shard the batch axis over the data mesh; each
+            # device scores its slab, XLA gathers the compacted rows.
+            # The Pallas kernel is not GSPMD-partitionable, so sharded
+            # dispatch pins the XLA accumulate.
+            stacked = _shard_batch(stacked_h, mesh, 1)
+            meta = _shard_batch(meta_h, mesh, 1)
+            backend = "xla"
+        else:
+            stacked = jnp.asarray(stacked_h)
+            meta = jnp.asarray(meta_h)
+        res = call_batch_packed(
+            stacked, meta, dtabs.fk, dtabs.coef, dtabs.lhet,
+            dtabs.solo_prior, dtabs.joint_prior, dtabs.qadd,
+            dtabs.q_r_int,
+            use_joint=p.use_joint_priors,
+            min_somatic_qual=p.min_somatic_qual,
+            include_loh=p.include_loh, include_gor=p.include_gor,
+            cap_mapq=p.cap_mapq, theta=p.theta, eta=p.eta,
+            max_emit=min(B, 16384), glf_backend=backend,
+        )
+        d_t = plan.d_t[s:e].astype(np.int32)
+        d_n = plan.d_n[s:e].astype(np.int32)
     else:
-        stacked = jnp.asarray(stacked_h)
-        meta = jnp.asarray(meta_h)
-    cb_t = ColumnBatch(slots=stacked[0], depth=meta[0], ref16=meta[2],
-                       n_keep=meta[3], rms_sum=meta[5])
-    cb_n = ColumnBatch(slots=stacked[1], depth=meta[1], ref16=meta[2],
-                       n_keep=meta[4], rms_sum=meta[6])
-    res = call_batch_compact(
-        cb_t, cb_n, dtabs.fk, dtabs.coef, dtabs.lhet,
-        dtabs.solo_prior, dtabs.joint_prior, dtabs.qadd,
-        dtabs.q_r_int, precision="fast",
-        use_joint=p.use_joint_priors,
-        min_somatic_qual=p.min_somatic_qual,
-        include_loh=p.include_loh, include_gor=p.include_gor,
-        cap_mapq=p.cap_mapq, theta=p.theta, eta=p.eta,
-        max_emit=min(B, 16384), glf_backend=backend,
-    )
+        # deep/oversize columns: rms_sum can exceed 24 bits, use the
+        # row-per-field metadata layout
+        meta_h = np.zeros((7, B), np.int32)
+        pu_t.owner.pad16_into(plan.ti[s:e], ref16, D, cap_mapq,
+                              stacked_h[0, :b0], meta_h[3, :b0],
+                              meta_h[5, :b0])
+        pu_n.owner.pad16_into(plan.ni[s:e], ref16, D, cap_mapq,
+                              stacked_h[1, :b0], meta_h[4, :b0],
+                              meta_h[6, :b0])
+        meta_h[0, :b0] = plan.d_t[s:e]
+        meta_h[1, :b0] = plan.d_n[s:e]
+        meta_h[2, :b0] = ref16
+        mesh = data_mesh()
+        backend = "auto"
+        if mesh is not None and B % mesh.size == 0:
+            stacked = _shard_batch(stacked_h, mesh, 1)
+            meta = _shard_batch(meta_h, mesh, 1)
+            backend = "xla"
+        else:
+            stacked = jnp.asarray(stacked_h)
+            meta = jnp.asarray(meta_h)
+        cb_t = ColumnBatch(slots=stacked[0], depth=meta[0], ref16=meta[2],
+                           n_keep=meta[3], rms_sum=meta[5])
+        cb_n = ColumnBatch(slots=stacked[1], depth=meta[1], ref16=meta[2],
+                           n_keep=meta[4], rms_sum=meta[6])
+        res = call_batch_compact(
+            cb_t, cb_n, dtabs.fk, dtabs.coef, dtabs.lhet,
+            dtabs.solo_prior, dtabs.joint_prior, dtabs.qadd,
+            dtabs.q_r_int, precision="fast",
+            use_joint=p.use_joint_priors,
+            min_somatic_qual=p.min_somatic_qual,
+            include_loh=p.include_loh, include_gor=p.include_gor,
+            cap_mapq=p.cap_mapq, theta=p.theta, eta=p.eta,
+            max_emit=min(B, 16384), glf_backend=backend,
+        )
+        d_t = meta_h[0, :b0]
+        d_n = meta_h[1, :b0]
+        nk_t = meta_h[3, :b0]
+        nk_n = meta_h[4, :b0]
+        rms_t = meta_h[5, :b0]
+        rms_n = meta_h[6, :b0]
+    try:
+        # start the tiny count transfer now: by collect time it has
+        # crossed the tunnel, saving one synchronous round-trip
+        res.count.copy_to_host_async()
+    except Exception:
+        pass
     batch = PairedBatch(
         keys=plan.keys[s:e], ref16=ref16,
         tumor=stacked_h[0], normal=stacked_h[1],
-        n_tumor=meta_h[0, :b0], n_normal=meta_h[1, :b0],
-        nk_tumor=meta_h[3, :b0], nk_normal=meta_h[4, :b0],
-        rms_tumor=meta_h[5, :b0], rms_normal=meta_h[6, :b0],
+        n_tumor=d_t, n_normal=d_n,
+        nk_tumor=nk_t, nk_normal=nk_n,
+        rms_tumor=rms_t, rms_normal=rms_n,
     )
     return (batch, None, ref16, res, b0)
 
@@ -433,18 +519,33 @@ def collect_pending(
 ) -> list[tuple[int, SniperRecord]]:
     """Fetch compacted results and build records, sorted by column key."""
     records: list[tuple[int, SniperRecord]] = []
-    # ONE device fetch for every batch's (count, rows): on tunneled
-    # devices each synchronous fetch pays the full link round-trip
-    # (~20 ms on axon), so per-batch fetching scales with batch count
+    # Two batched fetches (on tunneled devices every synchronous fetch
+    # pays the full ~20 ms link round-trip, so per-batch fetching scales
+    # with batch count): first every count together (tiny, and the
+    # copy_to_host_async at dispatch usually has them host-side
+    # already), then only rows[:bucket(count)] of each live buffer —
+    # emitted sites are a few % of columns, so slicing before the fetch
+    # drops most of the result-download bytes.
     with STATS.timer("device"):
-        fetched = jax.device_get(
-            [(p[3].count, p[3].rows) for p in pending]
-        )
-    for (batch, chars, ref16, dev_res, b0), (count, rows_full) in zip(
-        pending, fetched
+        counts = jax.device_get([p[3].count for p in pending])
+        slices = []
+        for p, cnt in zip(pending, counts):
+            c = int(cnt)
+            K = p[3].rows.shape[0]
+            if c <= 0 or c > K:
+                slices.append(None)
+            else:
+                slices.append(p[3].rows[: _emit_bucket(c, K)])
+        live = [s for s in slices if s is not None]
+        live_rows = iter(jax.device_get(live) if live else [])
+    for (batch, chars, ref16, dev_res, b0), cnt, sl in zip(
+        pending, counts, slices
     ):
-        count = int(count)
-        if count > rows_full.shape[0]:
+        count = int(cnt)
+        rows_full = next(live_rows) if sl is not None else None
+        if count <= 0:
+            continue
+        if count > dev_res.rows.shape[0]:
             # emitted rows overflow the compact buffer (pathological emit
             # rate) — refetch the full per-column result
             if chars is None:
@@ -496,17 +597,27 @@ def _pad_b(arr: np.ndarray, B: int):
     return np.pad(arr, pad)
 
 
+def _emit_bucket(c: int, K: int) -> int:
+    """Bounded slice lengths for the emitted-rows fetch: next power of
+    two >= max(c, 128), capped at K (bounds compile variety of the
+    device-side slice while fetching ~c rows instead of all K)."""
+    k = 128
+    while k < c:
+        k *= 2
+    return min(k, K)
+
+
 def _b_bucket(b: int, minimum: int = 256) -> int:
     """Pad the batch axis to a bounded set of sizes: powers of two up to
-    8192, then multiples of 8192.  Keeps XLA compile variety small while
+    2048, then multiples of 2048.  Keeps XLA compile variety small while
     wasting far less transfer bandwidth than pure powers of two (uploads
     dominate the device path on tunneled/PCIe links)."""
     B = minimum
-    while B < b and B < 8192:
+    while B < b and B < 2048:
         B *= 2
     if B >= b:
         return B
-    return ((b + 8191) // 8192) * 8192
+    return ((b + 2047) // 2048) * 2048
 
 
 def submit_call_batch(
