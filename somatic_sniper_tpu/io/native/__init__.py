@@ -143,6 +143,9 @@ def get_lib():
             ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double),
             ctypes.c_double, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int32, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
@@ -151,6 +154,18 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.glf_cns_batch.restype = None
+        lib.glf_cns_batch.argtypes = [
+            ctypes.POINTER(NativePileupStruct),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
         ]
         lib.sniper_last_error.restype = ctypes.c_char_p
         _lib = lib

@@ -17,6 +17,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -983,6 +984,224 @@ static inline bool column_pure_ref(const NativePileup* np, int64_t c,
     return m >= 1 && L + gmin[m <= 255 ? m : 254] >= margin;
 }
 
+// ---- exact per-column consensus (host-side SNP-gate filter) ----------
+//
+// Replicates the exact-precision genotype path of models/glfgen.py +
+// models/consensus.py (itself the oracle-validated replication of the
+// MAQ model, reference sniper_maqcns.c:127-273) for ONE purpose: decide,
+// with the reference's own double-precision arithmetic, each sample's
+// best genotype so the caller's SNP gate (reference somatic_sniper.c:156
+// — consensus calls must differ) can be evaluated before any device
+// upload.  ~95% of impure shared columns at 30x have both samples
+// calling hom-ref; filtering them host-side shrinks device uploads,
+// kernel batches and result transfers by the same factor.
+//
+// Exactness notes (must mirror glfgen.py's exact path bit for bit):
+//  * f32 esum/fsum accumulators updated through f64 ops (C semantics)
+//  * per-(base,strand) rank counters, descending packed-key visit order
+//  * effective-quality floor of 4 when the low six baseQ bits are set
+//  * f32 left-to-right "others" sums, f32 ratio division, f64 +0.5 trunc
+//  * table indices clamped at 255 (mirrors XLA's clamping gather)
+//  * the "fix p[k,k]" best-base adjustment with strict-compare scans
+//  * quantization to u8 with (int)(x + 0.5) truncation
+//  * glf2cns het penalty q_r on non-homozygous slots, first-minimum wins
+
+static const int32_t kGlfBase[10] = {1, 3, 5, 9, 2, 6, 10, 4, 12, 8};
+static const int32_t kHetPen[10] = {0, 1, 1, 1, 0, 1, 1, 0, 1, 0};
+
+struct GlfTables {
+    const double* coef;  // [64*256*256] error-dependency coefficients
+    const double* lhet;  // [256*256] het log-likelihood table
+    const double* fk;    // [256] rank-decay weights
+    int32_t q_r_int;     // het penalty of glf2cns
+};
+
+// Best genotype (4-bit allele set) of one pileup column; *out_keep gets
+// the non-deleted entry count (the caller's glf-depth gate).
+static int32_t glf_exact_cns(const NativePileup* np, int64_t c, int32_t rc,
+                             const GlfTables& gt, int32_t* out_keep) {
+    int64_t s0 = np->offsets[c], e0 = np->offsets[c + 1];
+    thread_local std::vector<uint32_t> keys;
+    keys.clear();
+    for (int64_t i = s0; i < e0; ++i) {
+        uint32_t w = np->slots[i];
+        if ((w >> 21) & 1) continue;  // deletions never reach glfgen
+        uint32_t mq = w & 0xFF;
+        uint32_t q = (w >> 8) & 0xFF;
+        uint32_t b16 = (w >> 16) & 0xF;
+        uint32_t strand = (w >> 20) & 1;
+        uint32_t eff = q < mq ? q : mq;
+        uint32_t code = b16 ? b16 : (uint32_t)rc;
+        uint32_t base2 = 4;
+        switch (code) {
+            case 1: base2 = 0; break;
+            case 2: base2 = 1; break;
+            case 4: base2 = 2; break;
+            case 8: base2 = 3; break;
+            default: break;  // ambiguous: no valid bit, no base bits
+        }
+        uint32_t x = (eff << 24) | (strand << 18) | (q << 8) | mq;
+        if (base2 < 4) x |= (1u << 21) | (base2 << 16);
+        keys.push_back(x);
+    }
+    int32_t n = (int32_t)keys.size();
+    *out_keep = n;
+    int32_t lk[10];
+    if (n == 0) {
+        for (int i = 0; i < 10; ++i) lk[i] = 0;
+    } else {
+        std::sort(keys.begin(), keys.end());
+        float esum[4] = {0, 0, 0, 0}, fsum[4] = {0, 0, 0, 0};
+        int32_t cnt[4] = {0, 0, 0, 0};
+        int32_t w8[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+        for (int32_t i = n - 1; i >= 0; --i) {  // descending key order
+            uint32_t info = keys[(size_t)i];
+            int32_t effq = (int32_t)(info >> 24);
+            int32_t low6 = (int32_t)((info >> 8) & 0x3F);
+            if (effq < 4 && low6 != 0) effq = 4;
+            int32_t k8 = (int32_t)((info >> 16) & 7);
+            int32_t k4 = k8 & 3;
+            if (effq > 0) {
+                int32_t wk = w8[k8];
+                double fkw = gt.fk[wk < 255 ? wk : 255];
+                esum[k4] = (float)((double)esum[k4] + fkw * (double)effq);
+                fsum[k4] = (float)((double)fsum[k4] + fkw);
+                cnt[k4] += 1;
+                if (w8[k8] < 255) w8[k8] += 1;
+            }
+        }
+        int32_t c_tot = cnt[0] + cnt[1] + cnt[2] + cnt[3];
+        if (c_tot > 255) {  // depth rescale (reference sniper_maqcns.c:178)
+            int32_t nc[4];
+            for (int j = 0; j < 4; ++j)
+                nc[j] = (int32_t)std::floor(
+                    254.0 * (double)cnt[j] / (double)c_tot + 0.5);
+            c_tot = 0;
+            for (int j = 0; j < 4; ++j) {
+                cnt[j] = nc[j];
+                c_tot += nc[j];
+            }
+        }
+        int32_t n_idx = c_tot < 255 ? c_tot : 255;
+        auto coef_at = [&](int32_t be, int32_t k) {
+            int32_t k_idx = k < 255 ? k : 255;
+            return gt.coef[((int64_t)be << 16) | ((int64_t)n_idx << 8) |
+                           (int64_t)k_idx];
+        };
+        auto bar_e = [](float t1, float t3, int32_t t2) {
+            float denom = (t3 == 0.0f) ? 1.0f : t3;
+            float ratio = (t2 > 0) ? t1 / denom : 0.0f;
+            int32_t be = (int32_t)std::floor((double)ratio + 0.5);
+            if (be < 4) be = 4;
+            if (be > 63) be = 63;
+            return be;
+        };
+        float p[4][4];
+        for (int j = 0; j < 4; ++j) {
+            float t1 = 0.0f, t3 = 0.0f;
+            int32_t t2 = 0;
+            for (int k = 0; k < 4; ++k)
+                if (k != j) {
+                    t1 += esum[k];
+                    t3 += fsum[k];
+                    t2 += cnt[k];
+                }
+            p[j][j] = (t2 > 0)
+                          ? (float)((double)t1 + coef_at(bar_e(t1, t3, t2), t2))
+                          : 0.0f;
+            for (int k = j + 1; k < 4; ++k) {
+                float u1 = 0.0f, u3 = 0.0f;
+                int32_t u2 = 0;
+                for (int m = 0; m < 4; ++m)
+                    if (m != j && m != k) {
+                        u1 += esum[m];
+                        u3 += fsum[m];
+                        u2 += cnt[m];
+                    }
+                int32_t cj = cnt[j] < 255 ? cnt[j] : 255;
+                int32_t ck = cnt[k] < 255 ? cnt[k] : 255;
+                double lh = -4.343 * gt.lhet[(int64_t)cj * 256 + ck];
+                float het =
+                    (u2 > 0)
+                        ? (float)((lh + (double)u1) +
+                                  coef_at(bar_e(u1, u3, u2), u2))
+                        : (float)lh;
+                p[j][k] = het;
+                p[k][j] = het;
+            }
+        }
+        for (int j = 0; j < 4; ++j)
+            for (int k = 0; k < 4; ++k)
+                if (p[j][k] < 0.0f) p[j][k] = 0.0f;
+        // "fix p[k,k]" best-base adjustment (reference :216-233)
+        float max1 = -1.0f, max2 = -1.0f;
+        int mk = -1;
+        for (int k = 0; k < 4; ++k) {
+            float e = esum[k];
+            if (e > max1) {
+                max2 = max1;
+                max1 = e;
+                mk = k;
+            } else if (e > max2) {
+                max2 = e;
+            }
+        }
+        float min1 = 1e30f, min2 = 1e30f;
+        int mnk = -1;
+        for (int k = 0; k < 4; ++k) {
+            float d = p[k][k];
+            if (d < min1) {
+                min2 = min1;
+                min1 = d;
+                mnk = k;
+            } else if (d < min2) {
+                min2 = d;
+            }
+        }
+        bool fix =
+            (max1 > max2) && (mnk != mk || (double)min1 + 1.0 > (double)min2);
+        if (fix)
+            p[mk][mk] =
+                ((double)min1 > 1.0) ? (float)((double)min1 - 1.0) : 0.0f;
+        // quantize to u8 likelihoods in upper-triangular order
+        float p10[10];
+        int idx = 0;
+        for (int j = 0; j < 4; ++j)
+            for (int k = j; k < 4; ++k) p10[idx++] = p[j][k];
+        float minp = p10[0];
+        for (int i = 1; i < 10; ++i)
+            if (p10[i] < minp) minp = p10[i];
+        for (int i = 0; i < 10; ++i) {
+            float dl = p10[i] - minp;
+            lk[i] = ((double)dl > 255.0)
+                        ? 255
+                        : (int32_t)std::floor((double)dl + 0.5);
+        }
+    }
+    // glf2cns: het penalty, first minimum wins (reference :250-273)
+    int best = 0;
+    int32_t bestv = lk[0] + kHetPen[0] * gt.q_r_int;
+    for (int i = 1; i < 10; ++i) {
+        int32_t t = lk[i] + kHetPen[i] * gt.q_r_int;
+        if (t < bestv) {
+            bestv = t;
+            best = i;
+        }
+    }
+    return kGlfBase[best];
+}
+
+// Test/debug entry: exact consensus + keep count for selected columns.
+void glf_cns_batch(const NativePileup* np, const int64_t* col_idx,
+                   int64_t B, const int32_t* ref16, const double* coef,
+                   const double* lhet, const double* fk, int32_t q_r_int,
+                   int32_t* out_cns, int32_t* out_keep) {
+    GlfTables gt{coef, lhet, fk, q_r_int};
+    for (int64_t b = 0; b < B; ++b)
+        out_cns[b] = glf_exact_cns(np, col_idx[b], ref16[b], gt,
+                                   &out_keep[b]);
+}
+
 // Fused pair planning: one linear merge over the two sorted ukey lists
 // produces, for every column present in BOTH samples and not dropped by
 // the pure-reference prefilter, its (key, per-sample column index,
@@ -996,10 +1215,23 @@ static inline bool column_pure_ref(const NativePileup* np, int64_t c,
 // depth buckets, group n_buckets collects oversize columns (depth above
 // the last bucket), each group in ascending key order.  Returns the
 // total number of kept columns.
+//
+// Filtering tiers (both sound; output records never change in exact
+// mode, and fast mode can only lose emissions the exact model rejects):
+//  1. use_prefilter: margin-bound pure-reference test per sample — a
+//     cheap scan that proves hom-ref without any table math.
+//  2. use_cns (needs coef/lhet): the exact dual-consensus test — drop
+//     when the reference's own f64 model gives both samples the same
+//     best genotype (the SNP gate, somatic_sniper.c:156, can never
+//     pass), when the reference code is ambiguous (rb gate), or when
+//     either sample has zero non-deleted reads (depth gate).  Runs on
+//     two threads over the shared columns that survive tier 1.
 int64_t paired_plan(const NativePileup* t, const NativePileup* n,
                     const uint8_t* ref16, const int64_t* ref_off,
                     int32_t n_ref, const double* fk, const double* gmin,
                     double margin, int use_prefilter,
+                    const double* coef, const double* lhet,
+                    int32_t q_r_int, int use_cns,
                     const int32_t* buckets, int32_t n_buckets,
                     int64_t* keys_out, int64_t* ti_out, int64_t* ni_out,
                     int32_t* dt_out, int32_t* dn_out, int32_t* r16_out,
@@ -1009,10 +1241,17 @@ int64_t paired_plan(const NativePileup* t, const NativePileup* n,
         int64_t key, ti, ni;
         int32_t dt, dn, r16, grp;
     };
-    std::vector<Rec> recs;
+    // phase 1: serial merge; cheap tier-1 filter inline, tier-2
+    // candidates collected with per-sample purity noted (a pure sample's
+    // consensus is hom-ref by the margin proof — no glfgen needed)
+    struct Cand {
+        int64_t key, ti, ni;
+        int32_t r16;
+        uint8_t pure_t, pure_n;
+    };
+    std::vector<Cand> cands;
     int64_t cap = t->n_cols < n->n_cols ? t->n_cols : n->n_cols;
-    recs.reserve((size_t)cap);
-    std::vector<int64_t> cnt((size_t)n_buckets + 1, 0);
+    cands.reserve((size_t)cap);
     int64_t it = 0, in = 0;
     while (it < t->n_cols && in < n->n_cols) {
         int64_t kt = t->ukeys[it], kn = n->ukeys[in];
@@ -1030,40 +1269,93 @@ int64_t paired_plan(const NativePileup* t, const NativePileup* n,
         if (tid >= 0 && tid < n_ref &&
             pos < ref_off[tid + 1] - ref_off[tid])
             rc = (int32_t)ref16[ref_off[tid] + pos];
-        bool drop =
-            use_prefilter &&
-            column_pure_ref(t, it, (uint8_t)rc, fk, gmin, margin) &&
-            column_pure_ref(n, in, (uint8_t)rc, fk, gmin, margin);
-        if (!drop) {
-            int32_t dt = (int32_t)(t->offsets[it + 1] - t->offsets[it]);
-            int32_t dn = (int32_t)(n->offsets[in + 1] - n->offsets[in]);
-            int32_t dmax = dt > dn ? dt : dn;
-            int32_t g = n_buckets;  // oversize
-            for (int32_t bi = 0; bi < n_buckets; ++bi)
-                if (dmax <= buckets[bi]) {
-                    g = bi;
-                    break;
-                }
-            recs.push_back({kt, it, in, dt, dn, rc, g});
-            ++cnt[(size_t)g];
+        uint8_t pt = 0, pn = 0;
+        if (use_prefilter) {
+            pt = column_pure_ref(t, it, (uint8_t)rc, fk, gmin, margin);
+            pn = column_pure_ref(n, in, (uint8_t)rc, fk, gmin, margin);
         }
+        if (!(pt && pn)) cands.push_back({kt, it, in, rc, pt, pn});
         ++it;
         ++in;
+    }
+    // phase 2: exact dual-consensus filter, parallel over candidates
+    int64_t nc = (int64_t)cands.size();
+    std::vector<uint8_t> drop((size_t)nc, 0);
+    if (use_cns && coef && lhet) {
+        GlfTables gt{coef, lhet, fk, q_r_int};
+        auto work = [&](int64_t lo, int64_t hi) {
+            for (int64_t i = lo; i < hi; ++i) {
+                const Cand& cd = cands[(size_t)i];
+                if (cd.r16 == 15) {  // rb gate can never pass
+                    drop[(size_t)i] = 1;
+                    continue;
+                }
+                int32_t keep_t = 1, keep_n = 1;
+                int32_t cns_t = cd.pure_t
+                                    ? cd.r16
+                                    : glf_exact_cns(t, cd.ti, cd.r16, gt,
+                                                    &keep_t);
+                if (keep_t == 0) {
+                    drop[(size_t)i] = 1;
+                    continue;
+                }
+                int32_t cns_n = cd.pure_n
+                                    ? cd.r16
+                                    : glf_exact_cns(n, cd.ni, cd.r16, gt,
+                                                    &keep_n);
+                drop[(size_t)i] = (keep_n == 0) || (cns_t == cns_n);
+            }
+        };
+        int64_t nt = std::thread::hardware_concurrency();
+        if (nt > 2) nt = 2;
+        if (nt > 1 && nc > 4096) {
+            int64_t mid = nc / 2;
+            std::thread th(work, 0, mid);
+            work(mid, nc);
+            th.join();
+        } else {
+            work(0, nc);
+        }
+    }
+    // phase 3: bucket + emit in ascending key order per group
+    std::vector<int64_t> cnt((size_t)n_buckets + 1, 0);
+    std::vector<int32_t> grp((size_t)nc, 0);
+    std::vector<int32_t> dts((size_t)nc, 0), dns((size_t)nc, 0);
+    int64_t n_keep = 0;
+    for (int64_t i = 0; i < nc; ++i) {
+        if (drop[(size_t)i]) continue;
+        const Cand& cd = cands[(size_t)i];
+        int32_t dt = (int32_t)(t->offsets[cd.ti + 1] - t->offsets[cd.ti]);
+        int32_t dn = (int32_t)(n->offsets[cd.ni + 1] - n->offsets[cd.ni]);
+        int32_t dmax = dt > dn ? dt : dn;
+        int32_t g = n_buckets;  // oversize
+        for (int32_t bi = 0; bi < n_buckets; ++bi)
+            if (dmax <= buckets[bi]) {
+                g = bi;
+                break;
+            }
+        grp[(size_t)i] = g;
+        dts[(size_t)i] = dt;
+        dns[(size_t)i] = dn;
+        ++cnt[(size_t)g];
+        ++n_keep;
     }
     group_off[0] = 0;
     for (int32_t g = 0; g <= n_buckets; ++g)
         group_off[g + 1] = group_off[g] + cnt[(size_t)g];
     std::vector<int64_t> cur(group_off, group_off + n_buckets + 1);
-    for (const Rec& r : recs) {
-        int64_t o = cur[(size_t)r.grp]++;
-        keys_out[o] = r.key;
-        ti_out[o] = r.ti;
-        ni_out[o] = r.ni;
-        dt_out[o] = r.dt;
-        dn_out[o] = r.dn;
-        r16_out[o] = r.r16;
+    for (int64_t i = 0; i < nc; ++i) {
+        if (drop[(size_t)i]) continue;
+        const Cand& cd = cands[(size_t)i];
+        int64_t o = cur[(size_t)grp[(size_t)i]]++;
+        keys_out[o] = cd.key;
+        ti_out[o] = cd.ti;
+        ni_out[o] = cd.ni;
+        dt_out[o] = dts[(size_t)i];
+        dn_out[o] = dns[(size_t)i];
+        r16_out[o] = cd.r16;
     }
-    return (int64_t)recs.size();
+    return n_keep;
 }
 
 }  // extern "C"

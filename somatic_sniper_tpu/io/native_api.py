@@ -216,6 +216,42 @@ class PairedPlan:
         self.group_off = group_off
 
 
+def glf_cns(
+    pu: ColumnarPileup,
+    col_idx: np.ndarray,
+    ref16: np.ndarray,
+    coef: np.ndarray,
+    lhet: np.ndarray,
+    fk: np.ndarray,
+    q_r_int: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(cns i32[B], keep i32[B]) exact per-column consensus via the
+    native glf_exact_cns — test surface for the plan-time SNP-gate
+    filter (must match the JAX exact path bit for bit)."""
+    import ctypes as ct
+
+    lib = pu.owner._lib
+    ci = np.ascontiguousarray(col_idx, np.int64)
+    r16 = np.ascontiguousarray(ref16, np.int32)
+    coef_c = np.ascontiguousarray(coef, np.float64)
+    lhet_c = np.ascontiguousarray(lhet, np.float64)
+    fk_c = np.ascontiguousarray(fk, np.float64)
+    B = len(ci)
+    cns = np.empty(B, np.int32)
+    keep = np.empty(B, np.int32)
+    dp = ct.POINTER(ct.c_double)
+    lib.glf_cns_batch(
+        pu.owner._ptr,
+        ci.ctypes.data_as(ct.POINTER(ct.c_int64)), B,
+        r16.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        coef_c.ctypes.data_as(dp), lhet_c.ctypes.data_as(dp),
+        fk_c.ctypes.data_as(dp), int(q_r_int),
+        cns.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        keep.ctypes.data_as(ct.POINTER(ct.c_int32)),
+    )
+    return cns, keep
+
+
 def paired_plan(
     pu_t: ColumnarPileup,
     pu_n: ColumnarPileup,
@@ -225,10 +261,16 @@ def paired_plan(
     fk: np.ndarray | None = None,
     gmin: np.ndarray | None = None,
     margin: float = 0.0,
+    coef: np.ndarray | None = None,
+    lhet: np.ndarray | None = None,
+    q_r_int: int = 0,
 ) -> PairedPlan:
-    """Fused native intersect + pure-reference prefilter + depth-bucket
-    grouping over two native pileups (one O(shared) C++ pass).  The
-    prefilter runs iff ``gmin`` is given."""
+    """Fused native intersect + prefilter + depth-bucket grouping over
+    two native pileups (one O(shared) C++ pass plus a threaded filter
+    pass).  The margin-bound pure-reference prefilter runs iff ``gmin``
+    is given; the exact dual-consensus filter (drop columns whose SNP
+    gate provably fails under the reference's f64 model) additionally
+    runs iff ``coef``/``lhet`` are given."""
     owner_t, owner_n = pu_t.owner, pu_n.owner
     lib = owner_t._lib
     blob = np.ascontiguousarray(ref_blob, np.uint8)
@@ -250,6 +292,14 @@ def paired_plan(
     goff = np.empty(len(bk) + 2, np.int64)
     i64p = ctypes.POINTER(ctypes.c_int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
+    dp = ctypes.POINTER(ctypes.c_double)
+    use_cns = coef is not None and lhet is not None
+    coef_c = (
+        np.ascontiguousarray(coef, np.float64) if use_cns else np.zeros(1)
+    )
+    lhet_c = (
+        np.ascontiguousarray(lhet, np.float64) if use_cns else np.zeros(1)
+    )
     total = lib.paired_plan(
         owner_t._ptr, owner_n._ptr,
         blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -257,6 +307,8 @@ def paired_plan(
         fk_c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         gmin_c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         float(margin), 1 if gmin is not None else 0,
+        coef_c.ctypes.data_as(dp), lhet_c.ctypes.data_as(dp),
+        int(q_r_int), 1 if use_cns else 0,
         bk.ctypes.data_as(i32p), len(bk),
         keys.ctypes.data_as(i64p), ti.ctypes.data_as(i64p),
         ni.ctypes.data_as(i64p), d_t.ctypes.data_as(i32p),

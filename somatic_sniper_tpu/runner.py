@@ -362,13 +362,19 @@ def submit_batches_planned(
 
     gmin = None
     margin = 0.0
+    coef = lhet = None
     if prefilter:
         pt = prefilter_tables(tabs)
         if pt is not None:
             gmin, margin = pt
+        # exact dual-consensus tier: provably output-preserving for any
+        # model parameters (it evaluates the SNP gate with the exact f64
+        # model itself), so it is gated only by the prefilter switch
+        coef, lhet = tabs.coef, tabs.lhet
     with STATS.timer("plan"):
         plan = paired_plan(pu_t, pu_n, ref_blob, ref_off, DEPTH_BUCKETS,
-                           fk=tabs.fk, gmin=gmin, margin=margin)
+                           fk=tabs.fk, gmin=gmin, margin=margin,
+                           coef=coef, lhet=lhet, q_r_int=tabs.q_r_int)
     STATS.add("columns_scored", len(plan.keys))
     pending = []
     nb = len(DEPTH_BUCKETS)

@@ -109,3 +109,70 @@ def test_prefilter_disabled_for_extreme_het_rate():
     tabs = build_tables(ModelParams(het_rate=0.45))
     assert tabs.q_r_int < 1
     assert prefilter_tables(tabs) is None
+
+
+def test_native_cns_matches_exact_path(data_dir, tabs):
+    """The plan-time native consensus (glf_exact_cns) must equal the JAX
+    exact path bit for bit — it decides which columns never reach the
+    device, so any divergence silently changes output."""
+    import jax.numpy as jnp
+
+    from somatic_sniper_tpu.models.consensus import glf2cns_batch
+    from somatic_sniper_tpu.models.glfgen import ColumnBatch, glfgen_batch
+
+    header, pu = _load(data_dir, "tumor")
+    ref16, ref_off = _refblob(data_dir, header)
+    idx = np.arange(0, len(pu.ukeys), 7, dtype=np.int64)[:1024]
+    tid = (pu.ukeys[idx] >> 40).astype(np.int64)
+    pos = (pu.ukeys[idx] & ((1 << 40) - 1)).astype(np.int64)
+    rb4 = ref16[ref_off[tid] + pos].astype(np.int32)
+    cns_nat, keep_nat = native_api.glf_cns(
+        pu, idx, rb4, tabs.coef, tabs.lhet, tabs.fk, tabs.q_r_int
+    )
+    depths = pu.depths[idx]
+    D = int(depths.max())
+    B = len(idx)
+    slots = np.zeros((B, D), np.uint32)
+    for b, ci in enumerate(idx):
+        s, e = pu.offsets[ci], pu.offsets[ci + 1]
+        slots[b, : e - s] = pu.slots[s:e]
+    cb = ColumnBatch(
+        slots=jnp.asarray(slots),
+        depth=jnp.asarray(depths.astype(np.int32)),
+        ref16=jnp.asarray(rb4),
+    )
+    g = glfgen_batch(cb, tabs.fk, tabs.coef, tabs.lhet, precision="exact")
+    cns = glf2cns_batch(g.lk, cb.depth, tabs.q_r_int)
+    assert np.array_equal(cns_nat, np.asarray(cns.base1))
+    assert np.array_equal(keep_nat, np.asarray(g.depth))
+
+
+def test_cns_filter_output_identical_fast(data_dir):
+    """Fast-precision (planned/native) path: the exact dual-consensus
+    plan filter must not change emitted records, including at the
+    maximally permissive threshold where every consensus-differing
+    column emits."""
+    d = _sim_dir(data_dir)
+    args = (str(d / "tumor.bam"), str(d / "normal.bam"), str(d / "ref.fa"))
+    for params in (ModelParams(), ModelParams(min_somatic_qual=0),
+                   ModelParams(use_joint_priors=True)):
+        on = list(call_pair(*args, params=params, precision="fast",
+                            prefilter=True))
+        off = list(call_pair(*args, params=params, precision="fast",
+                             prefilter=False))
+        assert on == off
+        assert len(on) > 0
+
+
+def test_cns_filter_scores_only_near_emitted(data_dir):
+    """The filter should leave close to nothing un-emittable: on clean
+    simulated data the scored-column count lands within 2x of the
+    emitted-record count (a regression canary for filter strength)."""
+    from somatic_sniper_tpu.utils.stats import STATS
+
+    d = _sim_dir(data_dir)
+    args = (str(d / "tumor.bam"), str(d / "normal.bam"), str(d / "ref.fa"))
+    STATS.reset()
+    recs = list(call_pair(*args, precision="fast", prefilter=True))
+    scored = STATS.counts.get("columns_scored", 0)
+    assert scored <= max(2 * len(recs), 64)

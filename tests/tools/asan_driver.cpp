@@ -55,15 +55,24 @@ int main(int argc, char** argv) {
     pileup_pad16(pt, ci.data(), r16.data(), B, 32, 60, out16.data(),
                  nk.data(), rms.data());
 
-    // fused paired plan
+    // fused paired plan with the exact dual-consensus tier (synthetic
+    // coef/lhet tables: values only need to be readable, not realistic)
     int32_t buckets[4] = {16, 32, 64, 128};
     int64_t cap = pt->n_cols < pn->n_cols ? pt->n_cols : pn->n_cols;
     std::vector<int64_t> keys(cap), ti(cap), ni(cap), goff(6);
     std::vector<int32_t> dt(cap), dn(cap), rr(cap);
+    std::vector<double> coef((size_t)64 * 256 * 256, 1.0);
+    std::vector<double> lhet((size_t)256 * 256, -0.5);
     int64_t total = paired_plan(
         pt, pn, ref16.data(), ref_off.data(), bt->n_ref, fk.data(),
-        gmin.data(), 2.0, 1, buckets, 4, keys.data(), ti.data(), ni.data(),
+        gmin.data(), 2.0, 1, coef.data(), lhet.data(), 30, 1,
+        buckets, 4, keys.data(), ti.data(), ni.data(),
         dt.data(), dn.data(), rr.data(), goff.data());
+
+    // exact consensus debug surface over the padded columns
+    std::vector<int32_t> cns(B), keep(B);
+    glf_cns_batch(pt, ci.data(), B, r16.data(), coef.data(), lhet.data(),
+                  fk.data(), 30, cns.data(), keep.data());
 
     std::printf("ok n_reads=%lld/%lld cols=%lld/%lld plan=%lld\n",
                 (long long)bt->n_reads, (long long)bn->n_reads,
