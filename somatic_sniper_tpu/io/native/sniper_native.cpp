@@ -1269,23 +1269,31 @@ int64_t paired_plan(const NativePileup* t, const NativePileup* n,
         if (tid >= 0 && tid < n_ref &&
             pos < ref_off[tid + 1] - ref_off[tid])
             rc = (int32_t)ref16[ref_off[tid] + pos];
-        uint8_t pt = 0, pn = 0;
-        if (use_prefilter) {
-            pt = column_pure_ref(t, it, (uint8_t)rc, fk, gmin, margin);
-            pn = column_pure_ref(n, in, (uint8_t)rc, fk, gmin, margin);
-        }
-        if (!(pt && pn)) cands.push_back({kt, it, in, rc, pt, pn});
+        cands.push_back({kt, it, in, rc, 0, 0});
         ++it;
         ++in;
     }
-    // phase 2: exact dual-consensus filter, parallel over candidates
+    // phase 2: purity + exact dual-consensus filters, parallel over the
+    // shared columns (the serial merge above stays cheap)
     int64_t nc = (int64_t)cands.size();
     std::vector<uint8_t> drop((size_t)nc, 0);
-    if (use_cns && coef && lhet) {
+    if (use_prefilter || (use_cns && coef && lhet)) {
         GlfTables gt{coef, lhet, fk, q_r_int};
+        bool cns_on = use_cns && coef && lhet;
         auto work = [&](int64_t lo, int64_t hi) {
             for (int64_t i = lo; i < hi; ++i) {
-                const Cand& cd = cands[(size_t)i];
+                Cand& cd = cands[(size_t)i];
+                if (use_prefilter) {
+                    cd.pure_t = column_pure_ref(t, cd.ti, (uint8_t)cd.r16,
+                                                fk, gmin, margin);
+                    cd.pure_n = column_pure_ref(n, cd.ni, (uint8_t)cd.r16,
+                                                fk, gmin, margin);
+                    if (cd.pure_t && cd.pure_n) {
+                        drop[(size_t)i] = 1;
+                        continue;
+                    }
+                }
+                if (!cns_on) continue;
                 if (cd.r16 == 15) {  // rb gate can never pass
                     drop[(size_t)i] = 1;
                     continue;

@@ -316,3 +316,68 @@ def call_batch_packed(
         include_gor=include_gor, cap_mapq=cap_mapq, theta=theta, eta=eta,
         max_emit=max_emit, glf_backend=glf_backend,
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "precision", "use_joint", "cap_mapq", "theta", "eta", "max_emit",
+        "glf_backend", "packed16", "compact",
+    ),
+)
+def call_batch_stacked(
+    stacked,
+    meta,
+    fk64,
+    coef64,
+    lhet64,
+    solo_prior,
+    joint_prior,
+    qadd_table,
+    q_r_int: int,
+    precision: str = "exact",
+    use_joint: bool = False,
+    min_somatic_qual: int = 15,
+    include_loh: bool = True,
+    include_gor: bool = True,
+    cap_mapq: int = 60,
+    theta: float = 0.85,
+    eta: float = 0.03,
+    max_emit: int = 16384,
+    glf_backend: str = "auto",
+    packed16: bool = False,
+    compact: bool = True,
+):
+    """call_batch(_compact) over the stacked upload layout.
+
+    ``stacked`` is [2, B, D] (tumor, normal slots); ``meta`` is the
+    row-per-field metadata block ([7, B] for packed16 batches, [3, B]
+    otherwise).  Unpacking happens inside the jit: indexing sharded
+    device arrays eagerly compiles one tiny gather per row and runs it
+    on the mesh outside any jit — wasteful, and the only crash site the
+    CPU-backend suite ever produced.  Here XLA fuses the unpack into
+    the kernel for free.
+    """
+    if packed16:
+        cb_t = ColumnBatch(slots=stacked[0], depth=meta[0], ref16=meta[2],
+                           n_keep=meta[3], rms_sum=meta[5])
+        cb_n = ColumnBatch(slots=stacked[1], depth=meta[1], ref16=meta[2],
+                           n_keep=meta[4], rms_sum=meta[6])
+    else:
+        cb_t = ColumnBatch(slots=stacked[0], depth=meta[0], ref16=meta[2])
+        cb_n = ColumnBatch(slots=stacked[1], depth=meta[1], ref16=meta[2])
+    common = dict(
+        precision=precision, use_joint=use_joint,
+        min_somatic_qual=min_somatic_qual, include_loh=include_loh,
+        include_gor=include_gor, cap_mapq=cap_mapq, theta=theta, eta=eta,
+        glf_backend=glf_backend,
+    )
+    if compact:
+        return call_batch_compact(
+            cb_t, cb_n, fk64, coef64, lhet64, solo_prior, joint_prior,
+            qadd_table, q_r_int, max_emit=max_emit, **common,
+        )
+    return call_batch(
+        cb_t, cb_n, fk64, coef64, lhet64, solo_prior, joint_prior,
+        qadd_table, q_r_int, **common,
+    )

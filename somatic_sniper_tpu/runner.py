@@ -28,6 +28,7 @@ from .models.somatic import (
     call_batch,
     call_batch_compact,
     call_batch_packed,
+    call_batch_stacked,
 )
 from .models.tables import ModelParams, ModelTables, build_tables
 from .output.dqstats import get_dqstats, get_dqstats_batch
@@ -533,17 +534,29 @@ def collect_pending(
     # emitted sites are a few % of columns, so slicing before the fetch
     # drops most of the result-download bytes.
     with STATS.timer("device"):
-        counts = jax.device_get([p[3].count for p in pending])
-        slices = []
-        for p, cnt in zip(pending, counts):
-            c = int(cnt)
-            K = p[3].rows.shape[0]
-            if c <= 0 or c > K:
-                slices.append(None)
-            else:
-                slices.append(p[3].rows[: _emit_bucket(c, K)])
-        live = [s for s in slices if s is not None]
-        live_rows = iter(jax.device_get(live) if live else [])
+        total_rows = sum(p[3].rows.shape[0] for p in pending)
+        if total_rows * 4 * 17 <= (1 << 20):
+            # small result buffers: one round-trip for everything beats
+            # the two-phase sliced fetch
+            fetched = jax.device_get(
+                [(p[3].count, p[3].rows) for p in pending]
+            )
+            counts = [c for c, _ in fetched]
+            slices = [r for _, r in fetched]
+            live_rows = iter(slices)
+            slices = [True] * len(pending)
+        else:
+            counts = jax.device_get([p[3].count for p in pending])
+            slices = []
+            for p, cnt in zip(pending, counts):
+                c = int(cnt)
+                K = p[3].rows.shape[0]
+                if c <= 0 or c > K:
+                    slices.append(None)
+                else:
+                    slices.append(p[3].rows[: _emit_bucket(c, K)])
+            live = [s for s in slices if s is not None]
+            live_rows = iter(jax.device_get(live) if live else [])
     for (batch, chars, ref16, dev_res, b0), cnt, sl in zip(
         pending, counts, slices
     ):
@@ -657,28 +670,17 @@ def submit_call_batch(
         ]
     meta_h = np.stack(meta_rows)
     mesh = data_mesh()
-    fn = call_batch_compact if compact else call_batch
-    kwargs = {}
-    if compact:
-        kwargs["max_emit"] = min(B, 16384)
+    glf_backend = "auto"
     if mesh is not None and B % mesh.size == 0:
         stacked = _shard_batch(stacked_h, mesh, 1)
         meta = _shard_batch(meta_h, mesh, 1)
-        kwargs["glf_backend"] = "xla"  # Pallas is not GSPMD-partitionable
+        glf_backend = "xla"  # Pallas is not GSPMD-partitionable
     else:
         stacked = jnp.asarray(stacked_h)
         meta = jnp.asarray(meta_h)
-    if batch.packed16:
-        cb_t = ColumnBatch(slots=stacked[0], depth=meta[0], ref16=meta[2],
-                           n_keep=meta[3], rms_sum=meta[5])
-        cb_n = ColumnBatch(slots=stacked[1], depth=meta[1], ref16=meta[2],
-                           n_keep=meta[4], rms_sum=meta[6])
-    else:
-        cb_t = ColumnBatch(slots=stacked[0], depth=meta[0], ref16=meta[2])
-        cb_n = ColumnBatch(slots=stacked[1], depth=meta[1], ref16=meta[2])
-    res = fn(
-        cb_t,
-        cb_n,
+    res = call_batch_stacked(
+        stacked,
+        meta,
         dtabs.fk,
         dtabs.coef,
         dtabs.lhet,
@@ -694,7 +696,10 @@ def submit_call_batch(
         cap_mapq=p.cap_mapq,
         theta=p.theta,
         eta=p.eta,
-        **kwargs,
+        max_emit=min(B, 16384),
+        glf_backend=glf_backend,
+        packed16=batch.packed16,
+        compact=compact,
     )
     return res, b0
 
