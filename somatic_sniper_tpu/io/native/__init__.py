@@ -56,6 +56,7 @@ class NativePileupStruct(ctypes.Structure):
         ("slots", ctypes.POINTER(ctypes.c_uint32)),
         ("ukeys", ctypes.POINTER(ctypes.c_int64)),
         ("offsets", ctypes.POINTER(ctypes.c_int64)),
+        ("pure", ctypes.POINTER(ctypes.c_uint8)),
         ("_storage", ctypes.c_void_p),
     ]
 
@@ -106,6 +107,25 @@ def get_lib():
             ctypes.POINTER(NativeBamStruct), ctypes.c_int, ctypes.c_int,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ]
+        _flag_tail = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_double,
+        ]
+        lib.pileup_build_flagged.restype = ctypes.POINTER(
+            NativePileupStruct
+        )
+        lib.pileup_build_flagged.argtypes = [
+            ctypes.POINTER(NativeBamStruct), ctypes.c_int, ctypes.c_int,
+        ] + _flag_tail
+        lib.pileup_build_window_flagged.restype = ctypes.POINTER(
+            NativePileupStruct
+        )
+        lib.pileup_build_window_flagged.argtypes = [
+            ctypes.POINTER(NativeBamStruct), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ] + _flag_tail
         lib.region_last_kept_start.restype = ctypes.c_int64
         lib.region_last_kept_start.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),

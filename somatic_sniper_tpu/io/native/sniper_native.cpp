@@ -238,6 +238,7 @@ struct NativePileup {
     uint32_t* slots;   // [n_entries] packed
     int64_t* ukeys;    // [n_cols]
     int64_t* offsets;  // [n_cols + 1]
+    uint8_t* pure;     // [n_cols] pure-ref margin flags, or NULL
     void* _storage;
 };
 
@@ -260,6 +261,7 @@ struct BamStorage {
 struct PileupStorage {
     std::vector<int64_t> keys, ukeys, offsets;
     std::vector<uint32_t> slots;
+    std::vector<uint8_t> pure;
 };
 
 }  // namespace
@@ -781,13 +783,55 @@ static NativePileup* pileup_build_impl(const NativeBam* nb, int flag_mask,
     np->slots = st->slots.data();
     np->ukeys = st->ukeys.data();
     np->offsets = st->offsets.data();
+    np->pure = nullptr;
     np->_storage = st;
     return np;
+}
+
+static inline bool column_pure_ref(const NativePileup* np, int64_t c,
+                                   uint8_t rcode, const double* fk,
+                                   const double* gmin, double margin);
+
+// Compute per-column pure-reference margin flags into st->pure (fused
+// into the load so the cost rides the per-file decode threads instead
+// of the serial plan phase; same predicate as column_pure_ref).
+static void fill_pure_flags(NativePileup* np, const uint8_t* ref16,
+                            const int64_t* ref_off, int32_t n_ref,
+                            const double* fk, const double* gmin,
+                            double margin) {
+    const int64_t POS_MASK = ((int64_t)1 << 40) - 1;
+    auto* st = (PileupStorage*)np->_storage;
+    st->pure.assign((size_t)np->n_cols, 0);
+    for (int64_t c = 0; c < np->n_cols; ++c) {
+        int64_t key = np->ukeys[c];
+        int32_t tid = (int32_t)(key >> 40);
+        int64_t pos = key & POS_MASK;
+        if (tid < 0 || tid >= n_ref) continue;
+        if (pos >= ref_off[tid + 1] - ref_off[tid]) continue;
+        uint8_t rc = ref16[ref_off[tid] + pos];
+        st->pure[(size_t)c] =
+            column_pure_ref(np, c, rc, fk, gmin, margin) ? 1 : 0;
+    }
+    np->pure = st->pure.data();
 }
 
 NativePileup* pileup_build(const NativeBam* nb, int flag_mask,
                            int mapq_thresh) {
     return pileup_build_impl(nb, flag_mask, mapq_thresh, -1, -1, -1);
+}
+
+// pileup_build + fused pure-reference flags (ref16/fk/gmin as in
+// pileup_flags; pass ref16 = NULL to skip flag computation).
+NativePileup* pileup_build_flagged(const NativeBam* nb, int flag_mask,
+                                   int mapq_thresh, const uint8_t* ref16,
+                                   const int64_t* ref_off, int32_t n_ref,
+                                   const double* fk, const double* gmin,
+                                   double margin) {
+    NativePileup* np = pileup_build_impl(nb, flag_mask, mapq_thresh,
+                                         -1, -1, -1);
+    if (np && ref16)
+        fill_pure_flags(np, ref16, ref_off, n_ref, fk, gmin, margin);
+    return np;
 }
 
 // Windowed build: columns clipped to [wbeg, wend) (wend < 0 = no limit).
@@ -798,6 +842,18 @@ NativePileup* pileup_build_window(const NativeBam* nb, int flag_mask,
                                   int64_t wend, int64_t drop_first_end_le) {
     return pileup_build_impl(nb, flag_mask, mapq_thresh, wbeg, wend,
                              drop_first_end_le);
+}
+
+NativePileup* pileup_build_window_flagged(
+    const NativeBam* nb, int flag_mask, int mapq_thresh, int64_t wbeg,
+    int64_t wend, int64_t drop_first_end_le, const uint8_t* ref16,
+    const int64_t* ref_off, int32_t n_ref, const double* fk,
+    const double* gmin, double margin) {
+    NativePileup* np = pileup_build_impl(nb, flag_mask, mapq_thresh, wbeg,
+                                         wend, drop_first_end_le);
+    if (np && ref16)
+        fill_pure_flags(np, ref16, ref_off, n_ref, fk, gmin, margin);
+    return np;
 }
 
 void pileup_destroy(NativePileup* np) {
@@ -1284,10 +1340,16 @@ int64_t paired_plan(const NativePileup* t, const NativePileup* n,
             for (int64_t i = lo; i < hi; ++i) {
                 Cand& cd = cands[(size_t)i];
                 if (use_prefilter) {
-                    cd.pure_t = column_pure_ref(t, cd.ti, (uint8_t)cd.r16,
-                                                fk, gmin, margin);
-                    cd.pure_n = column_pure_ref(n, cd.ni, (uint8_t)cd.r16,
-                                                fk, gmin, margin);
+                    cd.pure_t =
+                        t->pure ? t->pure[cd.ti]
+                                : column_pure_ref(t, cd.ti,
+                                                  (uint8_t)cd.r16, fk,
+                                                  gmin, margin);
+                    cd.pure_n =
+                        n->pure ? n->pure[cd.ni]
+                                : column_pure_ref(n, cd.ni,
+                                                  (uint8_t)cd.r16, fk,
+                                                  gmin, margin);
                     if (cd.pure_t && cd.pure_n) {
                         drop[(size_t)i] = 1;
                         continue;

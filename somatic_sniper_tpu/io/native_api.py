@@ -21,13 +21,38 @@ def _default_threads() -> int:
     return max(2, os.cpu_count() or 2)
 
 
+def _flag_tail_args(flag_args):
+    """ctypes tail for the *_flagged builders from (ref16_blob, ref_off,
+    fk, gmin, margin), keeping the arrays alive via the returned refs."""
+    ref16, ref_off, fk, gmin, margin = flag_args
+    blob = np.ascontiguousarray(ref16, np.uint8)
+    off = np.ascontiguousarray(ref_off, np.int64)
+    fk_c = np.ascontiguousarray(fk, np.float64)
+    gm_c = np.ascontiguousarray(gmin, np.float64)
+    tail = (
+        blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(off) - 1,
+        fk_c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        gm_c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        float(margin),
+    )
+    return tail, (blob, off, fk_c, gm_c)
+
+
 def load_and_columnize(
     path: str,
     flag_mask: int = BAM_DEF_MASK,
     mapq_thresh: int = 0,
     n_threads: int | None = None,
+    flag_args: tuple | None = None,
 ) -> tuple[BamHeader, ColumnarPileup]:
-    """Native BGZF+BAM decode and pileup columnarization in one call."""
+    """Native BGZF+BAM decode and pileup columnarization in one call.
+
+    ``flag_args`` = (ref16_blob, ref_off, fk, gmin, margin) additionally
+    computes the per-column pure-reference margin flags inside the load
+    (they ride the per-file decode threads instead of the serial plan
+    phase; consumed by the native paired_plan)."""
     lib = native.get_lib()
     if lib is None:
         raise RuntimeError("native library unavailable")
@@ -50,7 +75,12 @@ def load_and_columnize(
             ref_names=ref_names,
             ref_lengths=[int(x) for x in ref_lengths],
         )
-        np_ = lib.pileup_build(nb, flag_mask, mapq_thresh)
+        if flag_args is not None:
+            tail, _keep = _flag_tail_args(flag_args)
+            np_ = lib.pileup_build_flagged(nb, flag_mask, mapq_thresh,
+                                           *tail)
+        else:
+            np_ = lib.pileup_build(nb, flag_mask, mapq_thresh)
         if not np_:
             raise IOError(
                 f"{path}: pileup build failed: "
@@ -109,6 +139,7 @@ def load_region_and_columnize(
     mapq_thresh: int = 0,
     n_threads: int | None = None,
     drop_first_end_le: int = -1,
+    flag_args: tuple | None = None,
 ) -> ColumnarPileup:
     """Index-based region load + windowed pileup (region sharding path).
 
@@ -131,8 +162,15 @@ def load_region_and_columnize(
     if not nb:
         raise IOError(f"{path}: {lib.sniper_last_error().decode()}")
     try:
-        np_ = lib.pileup_build_window(nb, flag_mask, mapq_thresh, beg, end,
-                                      drop_first_end_le)
+        if flag_args is not None:
+            tail, _keep = _flag_tail_args(flag_args)
+            np_ = lib.pileup_build_window_flagged(
+                nb, flag_mask, mapq_thresh, beg, end, drop_first_end_le,
+                *tail,
+            )
+        else:
+            np_ = lib.pileup_build_window(nb, flag_mask, mapq_thresh, beg,
+                                          end, drop_first_end_le)
         if not np_:
             raise IOError(f"{path}: windowed pileup build failed")
         return _wrap_pileup(lib, np_)
@@ -214,6 +252,21 @@ class PairedPlan:
         self.d_n = d_n
         self.ref16 = ref16
         self.group_off = group_off
+
+
+def precomputed_pure(pu: ColumnarPileup) -> np.ndarray | None:
+    """Zero-copy view of the load-time pure-reference flags, if the
+    pileup was built with ``flag_args`` (else None)."""
+    owner = pu.owner
+    if owner is None or getattr(owner, "_ptr", None) is None:
+        return None
+    pc = owner._ptr.contents
+    if not pc.pure:
+        return None
+    n = int(pc.n_cols)
+    if n == 0:
+        return np.zeros(0, np.uint8)
+    return np.ctypeslib.as_array(pc.pure, shape=(n,))
 
 
 def glf_cns(

@@ -166,11 +166,21 @@ def call_pair_windows(
     # simultaneously instead of alternating.
     from concurrent.futures import ThreadPoolExecutor
 
+    flag_args = None
+    if prefilter and ref_blob is not None:
+        from ..pileup.prefilter import prefilter_tables
+
+        pt = prefilter_tables(tabs)
+        if pt is not None:
+            gmin, margin = pt
+            flag_args = (ref_blob, ref_off, tabs.fk, gmin, margin)
+
     def _load_one(path, idx, carry, tid, beg, end):
         return native_api.load_region_and_columnize(
             path, np.asarray(bai.region_chunks(idx, tid, beg, end)),
             tid, beg, end, params.flag_mask, params.mapq_threshold,
             n_threads=1, drop_first_end_le=carry.for_window(tid, beg),
+            flag_args=flag_args,
         )
 
     todo = [

@@ -189,12 +189,13 @@ def _sample_data(pu, sl, rb4, wanted, gt, jgt, jcq, cnsq, vaq, score, status):
     )
 
 
-def _load_pileups(tumor_bam, normal_bam, params):
+def _load_pileups(tumor_bam, normal_bam, params, flag_args=None):
     """Decode + columnize both BAMs.  The two files are loaded on two OS
     threads with ONE native worker thread each (ctypes releases the GIL):
     the decode/pileup-build phases of the native loader are serial per
     file, so file-level parallelism beats giving both inflate threads to
-    one file (~25% faster on a 2-core host)."""
+    one file (~25% faster on a 2-core host).  ``flag_args`` additionally
+    computes the pure-reference flags inside each file's load thread."""
     from .io import native_api
 
     if native_api.available():
@@ -204,10 +205,10 @@ def _load_pileups(tumor_bam, normal_bam, params):
         with STATS.timer("decode"), ThreadPoolExecutor(max_workers=2) as ex:
             f_t = ex.submit(native_api.load_and_columnize, tumor_bam,
                             params.flag_mask, params.mapq_threshold,
-                            per_file)
+                            per_file, flag_args)
             f_n = ex.submit(native_api.load_and_columnize, normal_bam,
                             params.flag_mask, params.mapq_threshold,
-                            per_file)
+                            per_file, flag_args)
             header_t, pu_t = f_t.result()
             header_n, pu_n = f_n.result()
     else:
@@ -255,11 +256,16 @@ def _make_ref16_fn(ref_blob, ref_off):
 
 def _prefilter_flags(pu_t, pu_n, ref_blob, ref_off, tabs):
     """(drop_tumor, drop_normal) pure-ref flags, or (None, None)."""
+    from .io.native_api import precomputed_pure
     from .pileup.prefilter import prefilter_tables, pure_flags
 
     pt = prefilter_tables(tabs)
     if pt is None or ref_blob is None:
         return None, None
+    ft = precomputed_pure(pu_t)
+    fn = precomputed_pure(pu_n)
+    if ft is not None and fn is not None:
+        return ft, fn
     gmin, margin = pt
     ft = pure_flags(pu_t, ref_blob, ref_off, tabs.fk, gmin, margin)
     fn = pure_flags(pu_n, ref_blob, ref_off, tabs.fk, gmin, margin)
@@ -277,13 +283,36 @@ def call_pair(
 ) -> Iterator[SniperRecord]:
     """Run the full caller, yielding emitted records in coordinate order."""
     with _exact_cpu_ctx(precision):
-        header_t, pu_t, header_n, pu_n = _load_pileups(
-            tumor_bam, normal_bam, params
-        )
         fasta = FastaFile(ref_fasta) if ref_fasta else None
-        refcache = RefCache(fasta, header_t)
         tabs = build_tables(params)
-        ref_blob, ref_off = _ref_blob(fasta, header_t)
+        flag_args = None
+        ref_blob = ref_off = None
+        # header read for the reference blob must not consume stdin
+        # ('-' tumor support, reference main.c:128)
+        hdr_path = normal_bam if tumor_bam == "-" else tumor_bam
+        if fasta is not None and hdr_path != "-":
+            # reference blob before the load: the loader threads compute
+            # the pure-reference flags alongside the pileup build
+            from .io.bam import read_bam_header
+            from .pileup.prefilter import prefilter_tables
+
+            try:
+                header0 = read_bam_header(hdr_path)
+                ref_blob, ref_off = _ref_blob(fasta, header0)
+                if prefilter:
+                    pt = prefilter_tables(tabs)
+                    if pt is not None:
+                        gmin, margin = pt
+                        flag_args = (ref_blob, ref_off, tabs.fk, gmin,
+                                     margin)
+            except Exception:
+                ref_blob = ref_off = None
+        header_t, pu_t, header_n, pu_n = _load_pileups(
+            tumor_bam, normal_bam, params, flag_args
+        )
+        refcache = RefCache(fasta, header_t)
+        if ref_blob is None:
+            ref_blob, ref_off = _ref_blob(fasta, header_t)
         # fast path ships compact u16 batches (half the accelerator-link
         # bytes); the exact path needs the full u32 slots
         packed16 = precision == "fast" and ref_blob is not None
