@@ -201,6 +201,19 @@ def main(argv=None) -> int:
         args.shards > 1 or args.shard_index is not None
         or args.manifest is not None
     )
+    if not use_sharded and args.tumor_bam != "-":
+        # large genomes default to the windowed streaming driver:
+        # constant memory, and the one-window decode lookahead overlaps
+        # host IO with device compute (measurably faster at >=Mb scale;
+        # stdin tumor cannot seek, so '-' stays on the whole-file path)
+        try:
+            from ..io.bam import read_bam_header
+
+            if sum(read_bam_header(args.tumor_bam).ref_lengths) \
+                    > 1_500_000:
+                use_sharded = True
+        except Exception:
+            pass
     if not use_sharded:
         from ..runner import call_pair
 
