@@ -175,6 +175,14 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.pileup_dqstats.restype = None
+        lib.pileup_dqstats.argtypes = [
+            ctypes.POINTER(NativePileupStruct),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.glf_cns_batch.restype = None
         lib.glf_cns_batch.argtypes = [
             ctypes.POINTER(NativePileupStruct),

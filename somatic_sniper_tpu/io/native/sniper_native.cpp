@@ -1247,6 +1247,62 @@ static int32_t glf_exact_cns(const NativePileup* np, int64_t c, int32_t rc,
     return kGlfBase[best];
 }
 
+// Per-site depth/quality statistics for emitted columns (exact
+// replication of the reference's get_dqstats, dqstats.c:6-53; see
+// output/dqstats.py for the field semantics).  out is [K, 18] int32:
+// mean_baseq[4], mean_mapq[4], base_occ[4], dp4[4], total_depth,
+// total_mean_mapq.  Quirk preserved: a '=' base (code 0) satisfies
+// (base & value) == base for every value, so it counts in all four
+// base_occ buckets.
+void pileup_dqstats(const NativePileup* np, const int64_t* col_idx,
+                    int64_t K, const int32_t* rb4, const int32_t* wanted,
+                    int32_t* out) {
+    for (int64_t k = 0; k < K; ++k) {
+        int32_t* o = out + k * 18;
+        for (int i = 0; i < 18; ++i) o[i] = 0;
+        int64_t c = col_idx[k];
+        int64_t depth = 0, tot_mq = 0;
+        int64_t occ[4] = {0, 0, 0, 0};
+        int64_t sb[4] = {0, 0, 0, 0}, sm[4] = {0, 0, 0, 0};
+        int64_t dp4[4] = {0, 0, 0, 0};
+        const int32_t rb = rb4[k];
+        const int32_t want = wanted[k];
+        for (int64_t i = np->offsets[c]; i < np->offsets[c + 1]; ++i) {
+            uint32_t s = np->slots[i];
+            if ((s >> 21) & 1) continue;  // deletions excluded
+            int32_t b = (int32_t)((s >> 16) & 0xF);
+            int32_t bq = (int32_t)((s >> 8) & 0xFF);
+            int32_t mq = (int32_t)(s & 0xFF);
+            int32_t st = (int32_t)((s >> 20) & 1);
+            ++depth;
+            tot_mq += mq;
+            dp4[(b == rb ? 0 : 2) + st] += 1;
+            for (int j = 0; j < 4; ++j) {
+                int32_t v = 1 << j;
+                if ((b & v) == b) {
+                    occ[j] += 1;
+                    if (want & v) {
+                        sb[j] += bq;
+                        sm[j] += mq;
+                    }
+                }
+            }
+        }
+        for (int j = 0; j < 4; ++j) {
+            if (occ[j] > 0) {
+                o[j] = (int32_t)((double)sb[j] / (double)occ[j] + 0.499);
+                o[4 + j] =
+                    (int32_t)((double)sm[j] / (double)occ[j] + 0.499);
+            }
+            o[8 + j] = (int32_t)occ[j];
+            o[12 + j] = (int32_t)dp4[j];
+        }
+        o[16] = (int32_t)depth;
+        o[17] = depth > 0 ? (int32_t)((double)tot_mq / (double)depth + 0.499)
+                          : 0;
+    }
+}
+
 // Test/debug entry: exact consensus + keep count for selected columns.
 void glf_cns_batch(const NativePileup* np, const int64_t* col_idx,
                    int64_t B, const int32_t* ref16, const double* coef,
