@@ -48,6 +48,17 @@ class NativeBamStruct(ctypes.Structure):
     ]
 
 
+class NativeBamHeaderStruct(ctypes.Structure):
+    _fields_ = [
+        ("text", ctypes.c_char_p),
+        ("n_ref", ctypes.c_int32),
+        ("ref_len", ctypes.POINTER(ctypes.c_int32)),
+        ("ref_names", ctypes.POINTER(ctypes.c_char)),
+        ("ref_names_len", ctypes.c_int64),
+        ("_storage", ctypes.c_void_p),
+    ]
+
+
 class NativePileupStruct(ctypes.Structure):
     _fields_ = [
         ("n_entries", ctypes.c_int64),
@@ -195,6 +206,15 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.bam_read_header.restype = ctypes.POINTER(NativeBamHeaderStruct)
+        lib.bam_read_header.argtypes = [ctypes.c_char_p]
+        lib.bam_header_destroy.argtypes = [
+            ctypes.POINTER(NativeBamHeaderStruct)
+        ]
+        lib.bam_load_pileup.restype = ctypes.POINTER(NativePileupStruct)
+        lib.bam_load_pileup.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ] + _flag_tail
         lib.sniper_last_error.restype = ctypes.c_char_p
         _lib = lib
         return _lib

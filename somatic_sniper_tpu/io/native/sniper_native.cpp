@@ -242,6 +242,17 @@ struct NativePileup {
     void* _storage;
 };
 
+// Header-only view (bam_read_header); the fused load path returns a
+// bare NativePileup, so header fields travel separately.
+struct NativeBamHeader {
+    char* text;
+    int32_t n_ref;
+    int32_t* ref_len;
+    char* ref_names;  // concatenated, NUL-separated
+    int64_t ref_names_len;
+    void* _storage;
+};
+
 }  // extern "C"
 
 namespace {
@@ -264,6 +275,55 @@ struct PileupStorage {
     std::vector<uint8_t> pure;
 };
 
+struct HeaderStorage {
+    std::string text;
+    std::vector<int32_t> ref_len;
+    std::string ref_names;  // concatenated, NUL-separated
+    int32_t n_ref = 0;
+};
+
+// Parse the BAM header section of an inflated stream (magic, SAM text,
+// reference dictionary; vendor bam.c:90 bam_header_read).  Returns the
+// offset of the first alignment record, -1 if the buffer ends inside
+// the header (caller should supply more bytes), or -2 if malformed.
+// ``hs`` may be NULL to only locate the record start.
+static int64_t parse_bam_header(const uint8_t* buf, int64_t n,
+                                HeaderStorage* hs) {
+    if (n < 8) return -1;
+    if (memcmp(buf, "BAM\1", 4) != 0) return -2;
+    int64_t p = 4;
+    int32_t l_text = rd_i32(buf + p);
+    p += 4;
+    if (l_text < 0) return -2;
+    if (p + (int64_t)l_text + 4 > n) return -1;
+    if (hs) {
+        hs->text.assign((const char*)buf + p, (size_t)l_text);
+        size_t z = hs->text.find('\0');  // trim trailing NULs
+        if (z != std::string::npos) hs->text.resize(z);
+    }
+    p += l_text;
+    int32_t n_ref = rd_i32(buf + p);
+    p += 4;
+    if (n_ref < 0) return -2;
+    if (hs) hs->n_ref = n_ref;
+    for (int32_t i = 0; i < n_ref; ++i) {
+        if (p + 4 > n) return -1;
+        int32_t l_name = rd_i32(buf + p);
+        p += 4;
+        if (l_name < 0) return -2;
+        if (p + (int64_t)l_name + 4 > n) return -1;
+        if (hs) hs->ref_names.append((const char*)buf + p, (size_t)l_name);
+        p += l_name;
+        if (hs) hs->ref_len.push_back(rd_i32(buf + p));
+        p += 4;
+    }
+    return p;
+}
+
+// defined below (same unnamed namespace)
+static void decode_record(BamStorage* st, const uint8_t* r);
+static NativeBam* finish_bam(BamStorage* st);
+
 }  // namespace
 
 extern "C" {
@@ -283,70 +343,43 @@ NativeBam* bam_load(const char* path, int n_threads) {
     raw.clear();
     raw.shrink_to_fit();
 
-    if (buf.size() < 8 || memcmp(buf.data(), "BAM\1", 4) != 0) {
-        g_err = "not a BAM file (bad magic)";
+    HeaderStorage hs;
+    int64_t p = parse_bam_header(buf.data(), (int64_t)buf.size(), &hs);
+    if (p < 0) {
+        g_err = p == -1 ? "truncated BAM header"
+                        : "not a BAM file (bad magic)";
         return nullptr;
     }
     auto* st = new BamStorage();
-    int64_t p = 4;
-    int32_t l_text = rd_i32(&buf[p]);
-    p += 4;
-    st->text.assign((const char*)&buf[p], l_text);
-    // trim trailing NULs
-    size_t z = st->text.find('\0');
-    if (z != std::string::npos) st->text.resize(z);
-    p += l_text;
-    st->n_ref = rd_i32(&buf[p]);
-    p += 4;
-    for (int32_t i = 0; i < st->n_ref; ++i) {
-        int32_t l_name = rd_i32(&buf[p]);
-        p += 4;
-        st->ref_names.append((const char*)&buf[p], l_name);  // includes NUL
-        p += l_name;
-        st->ref_len.push_back(rd_i32(&buf[p]));
-        p += 4;
-    }
+    st->text = std::move(hs.text);
+    st->ref_len = std::move(hs.ref_len);
+    st->ref_names = std::move(hs.ref_names);
+    st->n_ref = hs.n_ref;
 
     const int64_t n = (int64_t)buf.size();
-    // reserve to the decompressed size: seq unpacks to ~2x its packed
-    // bytes but the record stream also carries names/cigars/quals, so
+    // rough record-count estimate for capacity reservations (a typical
+    // short-read record is ~100 bytes of stream); seq unpacks to ~2x its
+    // packed bytes but the stream also carries names/cigars/quals, so
     // buf.size() over-reserves mildly and avoids doubling reallocations
+    const size_t est = (size_t)((n - p) / 100) + 16;
+    st->tid.reserve(est);
+    st->pos.reserve(est);
+    st->l_qseq.reserve(est);
+    st->flag.reserve(est);
+    st->n_cigar.reserve(est);
+    st->mapq.reserve(est);
+    st->cigar_off.reserve(est + 1);
+    st->seq_off.reserve(est + 1);
     st->seq.reserve((size_t)n);
     st->qual.reserve((size_t)n / 2);
-    // single pass decode
     while (p + 4 <= n) {
         int32_t bs = rd_i32(&buf[p]);
-        const uint8_t* r = &buf[p + 4];
-        if (p + 4 + bs > n) {
+        if (bs < 32 || p + 4 + bs > n) {
             g_err = "truncated BAM record";
             delete st;
             return nullptr;
         }
-        int32_t tid = rd_i32(r + 0);
-        int32_t pos = rd_i32(r + 4);
-        uint8_t l_read_name = r[8];
-        uint8_t mapq = r[9];
-        uint16_t n_cigar = rd_u16(r + 12);
-        uint16_t flag = rd_u16(r + 14);
-        int32_t l_seq = rd_i32(r + 16);
-        st->tid.push_back(tid);
-        st->pos.push_back(pos);
-        st->mapq.push_back(mapq);
-        st->n_cigar.push_back(n_cigar);
-        st->flag.push_back(flag);
-        st->l_qseq.push_back(l_seq);
-        const uint8_t* cg = r + 32 + l_read_name;
-        for (int k = 0; k < n_cigar; ++k)
-            st->cigar.push_back(rd_u32(cg + 4 * k));
-        st->cigar_off.push_back((int64_t)st->cigar.size());
-        const uint8_t* sq = cg + 4 * n_cigar;
-        for (int32_t k = 0; k < l_seq; ++k) {
-            uint8_t byte = sq[k / 2];
-            st->seq.push_back(k % 2 ? (byte & 0xF) : (byte >> 4));
-        }
-        const uint8_t* qu = sq + (l_seq + 1) / 2;
-        st->qual.insert(st->qual.end(), qu, qu + l_seq);
-        st->seq_off.push_back((int64_t)st->seq.size());
+        decode_record(st, &buf[p + 4]);
         p += 4 + bs;
     }
     if (p != n) {
@@ -354,34 +387,7 @@ NativeBam* bam_load(const char* path, int n_threads) {
         delete st;
         return nullptr;
     }
-
-    int64_t n_reads = (int64_t)st->tid.size();
-    // prepend 0 to offsets
-    st->cigar_off.insert(st->cigar_off.begin(), 0);
-    st->seq_off.insert(st->seq_off.begin(), 0);
-
-    auto* nb = new NativeBam();
-    nb->n_reads = n_reads;
-    nb->n_cigar_total = (int64_t)st->cigar.size();
-    nb->n_seq_total = (int64_t)st->seq.size();
-    nb->tid = st->tid.data();
-    nb->pos = st->pos.data();
-    nb->flag = st->flag.data();
-    nb->mapq = st->mapq.data();
-    nb->n_cigar = st->n_cigar.data();
-    nb->l_qseq = st->l_qseq.data();
-    nb->cigar = st->cigar.data();
-    nb->cigar_off = st->cigar_off.data();
-    nb->seq = st->seq.data();
-    nb->qual = st->qual.data();
-    nb->seq_off = st->seq_off.data();
-    nb->text = const_cast<char*>(st->text.c_str());
-    nb->n_ref = st->n_ref;
-    nb->ref_len = st->ref_len.data();
-    nb->ref_names = const_cast<char*>(st->ref_names.data());
-    nb->ref_names_len = (int64_t)st->ref_names.size();
-    nb->_storage = st;
-    return nb;
+    return finish_bam(st);
 }
 
 void bam_destroy(NativeBam* nb) {
@@ -389,6 +395,8 @@ void bam_destroy(NativeBam* nb) {
     delete (BamStorage*)nb->_storage;
     delete nb;
 }
+
+}  // extern "C"
 
 namespace {
 
@@ -471,6 +479,8 @@ static int64_t rec_ref_span(const uint8_t* r) {
 }
 
 }  // namespace
+
+extern "C" {
 
 // Region load via BAI virtual-offset chunks (region sharding path; the
 // reference streams whole files — SURVEY.md §2.2 calls out that sharded
@@ -591,23 +601,176 @@ NativeBam* bam_load_region(const char* path, const int64_t* chunks,
     return finish_bam(st);
 }
 
+// Header-only read: inflates BGZF blocks from the file start only until
+// the header section (vendor bam.c:90) is complete — the fused load
+// path (bam_load_pileup) returns a bare pileup, so callers fetch header
+// metadata through this without paying a whole-file inflate.
+NativeBamHeader* bam_read_header(const char* path) {
+    FILE* f = fopen(path, "rb");
+    if (!f) {
+        g_err = std::string("cannot read ") + path;
+        return nullptr;
+    }
+    libdeflate_probe();
+    std::vector<uint8_t> buf;
+    int64_t rc;
+    for (;;) {
+        rc = parse_bam_header(buf.data(), (int64_t)buf.size(), nullptr);
+        if (rc != -1) break;  // complete (>=0) or malformed (-2)
+        // inflate one more block
+        uint8_t hdr[12];
+        if (fread(hdr, 1, 12, f) != 12) break;  // EOF inside header
+        if (hdr[0] != 0x1f || hdr[1] != 0x8b) {
+            rc = -2;
+            break;
+        }
+        uint16_t xlen = rd_u16(hdr + 10);
+        std::vector<uint8_t> extra(xlen);
+        if (fread(extra.data(), 1, xlen, f) != xlen) break;
+        int bsize = -1;
+        int64_t ep = 0;
+        while (ep + 4 <= (int64_t)xlen) {
+            if (extra[ep] == 'B' && extra[ep + 1] == 'C' &&
+                rd_u16(&extra[ep + 2]) == 2)
+                bsize = rd_u16(&extra[ep + 4]) + 1;
+            ep += 4 + rd_u16(&extra[ep + 2]);
+        }
+        if (bsize < 0) {
+            rc = -2;
+            break;
+        }
+        int32_t comp_size = bsize - (int32_t)(12 + xlen) - 8;
+        if (comp_size < 0) {
+            rc = -2;
+            break;
+        }
+        std::vector<uint8_t> comp((size_t)comp_size + 8);
+        if (fread(comp.data(), 1, comp.size(), f) != comp.size()) break;
+        int32_t isize = (int32_t)rd_u32(comp.data() + comp_size + 4);
+        if (isize == 0) break;  // EOF marker before header end
+        size_t base = buf.size();
+        buf.resize(base + (size_t)isize);
+        if (!inflate_block(comp.data(), comp_size, buf.data() + base,
+                           isize)) {
+            rc = -2;
+            break;
+        }
+    }
+    fclose(f);
+    if (rc < 0) {
+        g_err = rc == -2 ? "not a BAM file (bad magic/header)"
+                         : "truncated BAM header";
+        return nullptr;
+    }
+    auto* hs = new HeaderStorage();
+    parse_bam_header(buf.data(), (int64_t)buf.size(), hs);
+    auto* h = new NativeBamHeader();
+    h->text = const_cast<char*>(hs->text.c_str());
+    h->n_ref = hs->n_ref;
+    h->ref_len = hs->ref_len.data();
+    h->ref_names = const_cast<char*>(hs->ref_names.data());
+    h->ref_names_len = (int64_t)hs->ref_names.size();
+    h->_storage = hs;
+    return h;
+}
+
+void bam_header_destroy(NativeBamHeader* h) {
+    if (!h) return;
+    delete (HeaderStorage*)h->_storage;
+    delete h;
+}
+
 // CIGAR ops (vendor bam.h:128-148); samtools-0.1.6 ignores '='/'X'.
 enum { CMATCH = 0, CINS = 1, CDEL = 2, CREF_SKIP = 3, CSOFT = 4 };
 
-static int64_t read_end(const NativeBam* nb, int64_t r) {
-    int64_t end = nb->pos[r];
-    for (int64_t c = nb->cigar_off[r]; c < nb->cigar_off[r + 1]; ++c) {
-        uint32_t op = nb->cigar[c] & 0xF;
-        if (op == CMATCH || op == CDEL || op == CREF_SKIP)
-            end += nb->cigar[c] >> 4;
+}  // extern "C"
+
+namespace {
+
+// Read-array accessors for the pileup build.  The build is templated
+// over these so the same code runs off decoded NativeBam arrays
+// (ArrayReads) or directly off the inflated BAM byte stream (BufReads)
+// — the latter skips materializing per-base seq/qual/cigar arrays when
+// the caller only wants the pileup (the production load path).
+struct ArrayReads {
+    const NativeBam* nb;
+    int64_t n() const { return nb->n_reads; }
+    int32_t tid(int64_t r) const { return nb->tid[r]; }
+    int64_t pos(int64_t r) const { return nb->pos[r]; }
+    uint16_t flag(int64_t r) const { return nb->flag[r]; }
+    uint8_t mapq(int64_t r) const { return nb->mapq[r]; }
+    int32_t l_qseq(int64_t r) const { return nb->l_qseq[r]; }
+    int64_t cig_n(int64_t r) const {
+        return nb->cigar_off[r + 1] - nb->cigar_off[r];
+    }
+    uint32_t cig(int64_t r, int64_t k) const {
+        return nb->cigar[nb->cigar_off[r] + k];
+    }
+    struct SeqView {
+        const uint8_t* sq;  // one 4-bit code per byte (unpacked)
+        const uint8_t* qu;
+        uint8_t base4(int64_t qp) const { return sq[qp]; }
+        uint8_t qual(int64_t qp) const { return qu[qp]; }
+    };
+    SeqView seqview(int64_t r) const {
+        int64_t so = nb->seq_off[r];
+        return {nb->seq + so, nb->qual + so};
+    }
+};
+
+// Records in the raw (inflated) BAM stream: fixed fields per vendor
+// bam.c:181 layout — tid:0 pos:4 l_read_name:8 mapq:9 n_cigar:12
+// flag:14 l_seq:16, then name, cigar u32s, 4-bit packed seq, qual.
+struct BufReads {
+    const uint8_t* buf;
+    const int64_t* off;  // [n] record body offsets (past block_size)
+    int64_t n_;
+    const uint8_t* body(int64_t r) const { return buf + off[r]; }
+    int64_t n() const { return n_; }
+    int32_t tid(int64_t r) const { return rd_i32(body(r)); }
+    int64_t pos(int64_t r) const { return rd_i32(body(r) + 4); }
+    uint16_t flag(int64_t r) const { return rd_u16(body(r) + 14); }
+    uint8_t mapq(int64_t r) const { return body(r)[9]; }
+    int32_t l_qseq(int64_t r) const { return rd_i32(body(r) + 16); }
+    int64_t cig_n(int64_t r) const { return rd_u16(body(r) + 12); }
+    uint32_t cig(int64_t r, int64_t k) const {
+        const uint8_t* b = body(r);
+        return rd_u32(b + 32 + b[8] + 4 * k);
+    }
+    struct SeqView {
+        const uint8_t* sq;  // 4-bit packed, two bases per byte
+        const uint8_t* qu;
+        uint8_t base4(int64_t qp) const {
+            uint8_t byte = sq[qp >> 1];
+            return (qp & 1) ? (byte & 0xF) : (byte >> 4);
+        }
+        uint8_t qual(int64_t qp) const { return qu[qp]; }
+    };
+    SeqView seqview(int64_t r) const {
+        const uint8_t* b = body(r);
+        int64_t nc = rd_u16(b + 12);
+        int32_t ls = rd_i32(b + 16);
+        const uint8_t* sq = b + 32 + b[8] + 4 * nc;
+        return {sq, sq + (ls + 1) / 2};
+    }
+};
+
+template <class R>
+static int64_t read_end(const R& rd, int64_t r) {
+    int64_t end = rd.pos(r);
+    for (int64_t k = 0, kn = rd.cig_n(r); k < kn; ++k) {
+        uint32_t c = rd.cig(r, k);
+        uint32_t op = c & 0xF;
+        if (op == CMATCH || op == CDEL || op == CREF_SKIP) end += c >> 4;
     }
     return end;
 }
 
-static NativePileup* pileup_build_impl(const NativeBam* nb, int flag_mask,
-                                       int mapq_thresh, int64_t wbeg,
-                                       int64_t wend,
-                                       int64_t drop_first_end_le) {
+template <class R>
+static NativePileup* pileup_build_tpl(const R& nb, int flag_mask,
+                                      int mapq_thresh, int64_t wbeg,
+                                      int64_t wend,
+                                      int64_t drop_first_end_le) {
     const int fmask = flag_mask | 0x4;  // BAM_FUNMAP always filtered
     auto* st = new PileupStorage();
 
@@ -616,22 +779,22 @@ static NativePileup* pileup_build_impl(const NativeBam* nb, int flag_mask,
     // below silently assumes it (the reference abort()s on unsorted
     // input, sniper_pileup.c:212).
     std::vector<int64_t> ridx;
-    ridx.reserve(nb->n_reads);
+    ridx.reserve(nb.n());
     int32_t prev_tid = -1;
     int64_t prev_pos = -1;
-    for (int64_t r = 0; r < nb->n_reads; ++r) {
-        int32_t t = nb->tid[r];
+    for (int64_t r = 0; r < nb.n(); ++r) {
+        int32_t t = nb.tid(r);
         if (t >= 0) {
             if (t < prev_tid ||
-                (t == prev_tid && (int64_t)nb->pos[r] < prev_pos)) {
+                (t == prev_tid && nb.pos(r) < prev_pos)) {
                 g_err = "BAM is not coordinate-sorted";
                 delete st;
                 return nullptr;
             }
             prev_tid = t;
-            prev_pos = nb->pos[r];
+            prev_pos = nb.pos(r);
         }
-        if ((nb->flag[r] & fmask) == 0 && nb->mapq[r] >= mapq_thresh)
+        if ((nb.flag(r) & fmask) == 0 && nb.mapq(r) >= mapq_thresh)
             ridx.push_back(r);
     }
     // cross-shard quirk carry: a windowed (region-sharded) load of a
@@ -648,8 +811,8 @@ static NativePileup* pileup_build_impl(const NativeBam* nb, int flag_mask,
         std::vector<int64_t> kept;
         kept.reserve(ridx.size());
         for (size_t i = 0; i < ridx.size(); ++i) {
-            if (i > 0 && nb->tid[ridx[i]] != nb->tid[ridx[i - 1]] &&
-                read_end(nb, ridx[i]) <= nb->pos[ridx[i - 1]])
+            if (i > 0 && nb.tid(ridx[i]) != nb.tid(ridx[i - 1]) &&
+                read_end(nb, ridx[i]) <= nb.pos(ridx[i - 1]))
                 continue;
             kept.push_back(ridx[i]);
         }
@@ -672,9 +835,9 @@ static NativePileup* pileup_build_impl(const NativeBam* nb, int flag_mask,
     size_t i0 = 0;
     while (i0 < ridx.size()) {
         size_t i1 = i0;
-        const int32_t tid = nb->tid[ridx[i0]];
+        const int32_t tid = nb.tid(ridx[i0]);
         int64_t max_end = 0;
-        while (i1 < ridx.size() && nb->tid[ridx[i1]] == tid) {
+        while (i1 < ridx.size() && nb.tid(ridx[i1]) == tid) {
             int64_t e = read_end(nb, ridx[i1]);
             if (e > max_end) max_end = e;
             ++i1;
@@ -694,11 +857,11 @@ static NativePileup* pileup_build_impl(const NativeBam* nb, int flag_mask,
         // (a) coverage diffs per M/D run
         for (size_t k = i0; k < i1; ++k) {
             int64_t r = ridx[k];
-            int64_t x = nb->pos[r];
-            for (int64_t c = nb->cigar_off[r]; c < nb->cigar_off[r + 1];
-                 ++c) {
-                uint32_t op = nb->cigar[c] & 0xF;
-                int64_t l = nb->cigar[c] >> 4;
+            int64_t x = nb.pos(r);
+            for (int64_t c = 0, cn = nb.cig_n(r); c < cn; ++c) {
+                uint32_t cg = nb.cig(r, c);
+                uint32_t op = cg & 0xF;
+                int64_t l = cg >> 4;
                 if (op == CMATCH || op == CDEL) {
                     int64_t a = x > lo ? x : lo;
                     int64_t b = x + l < hi ? x + l : hi;
@@ -733,16 +896,17 @@ static NativePileup* pileup_build_impl(const NativeBam* nb, int flag_mask,
         uint32_t* out = st->slots.data() + base;
         for (size_t k = i0; k < i1; ++k) {
             int64_t r = ridx[k];
-            int64_t x = nb->pos[r];
+            int64_t x = nb.pos(r);
             int64_t y = 0;
-            const int64_t so = nb->seq_off[r];
-            const int64_t max_q = nb->l_qseq[r] > 0 ? nb->l_qseq[r] - 1 : 0;
-            const uint32_t mq = nb->mapq[r];
-            const uint32_t strand = (nb->flag[r] >> 4) & 1;
-            for (int64_t c = nb->cigar_off[r]; c < nb->cigar_off[r + 1];
-                 ++c) {
-                uint32_t op = nb->cigar[c] & 0xF;
-                int64_t l = nb->cigar[c] >> 4;
+            const auto sv = nb.seqview(r);
+            const int32_t lq = nb.l_qseq(r);
+            const int64_t max_q = lq > 0 ? lq - 1 : 0;
+            const uint32_t mq = nb.mapq(r);
+            const uint32_t strand = (nb.flag(r) >> 4) & 1;
+            for (int64_t c = 0, cn = nb.cig_n(r); c < cn; ++c) {
+                uint32_t cg = nb.cig(r, c);
+                uint32_t op = cg & 0xF;
+                int64_t l = cg >> 4;
                 if (op == CMATCH) {
                     int64_t a = x > lo ? x : lo;
                     int64_t b = x + l < hi ? x + l : hi;
@@ -750,8 +914,8 @@ static NativePileup* pileup_build_impl(const NativeBam* nb, int flag_mask,
                         int64_t qp = y + (px - x);
                         if (qp > max_q) qp = max_q;
                         out[diff[px - lo]++] =
-                            mq | ((uint32_t)nb->qual[so + qp] << 8) |
-                            ((uint32_t)nb->seq[so + qp] << 16) |
+                            mq | ((uint32_t)sv.qual(qp) << 8) |
+                            ((uint32_t)sv.base4(qp) << 16) |
                             (strand << 20);
                     }
                     x += l;
@@ -788,6 +952,10 @@ static NativePileup* pileup_build_impl(const NativeBam* nb, int flag_mask,
     return np;
 }
 
+}  // namespace
+
+extern "C" {
+
 static inline bool column_pure_ref(const NativePileup* np, int64_t c,
                                    uint8_t rcode, const double* fk,
                                    const double* gmin, double margin);
@@ -817,7 +985,8 @@ static void fill_pure_flags(NativePileup* np, const uint8_t* ref16,
 
 NativePileup* pileup_build(const NativeBam* nb, int flag_mask,
                            int mapq_thresh) {
-    return pileup_build_impl(nb, flag_mask, mapq_thresh, -1, -1, -1);
+    return pileup_build_tpl(ArrayReads{nb}, flag_mask, mapq_thresh, -1, -1,
+                            -1);
 }
 
 // pileup_build + fused pure-reference flags (ref16/fk/gmin as in
@@ -827,8 +996,8 @@ NativePileup* pileup_build_flagged(const NativeBam* nb, int flag_mask,
                                    const int64_t* ref_off, int32_t n_ref,
                                    const double* fk, const double* gmin,
                                    double margin) {
-    NativePileup* np = pileup_build_impl(nb, flag_mask, mapq_thresh,
-                                         -1, -1, -1);
+    NativePileup* np = pileup_build_tpl(ArrayReads{nb}, flag_mask,
+                                        mapq_thresh, -1, -1, -1);
     if (np && ref16)
         fill_pure_flags(np, ref16, ref_off, n_ref, fk, gmin, margin);
     return np;
@@ -840,8 +1009,8 @@ NativePileup* pileup_build_flagged(const NativeBam* nb, int flag_mask,
 NativePileup* pileup_build_window(const NativeBam* nb, int flag_mask,
                                   int mapq_thresh, int64_t wbeg,
                                   int64_t wend, int64_t drop_first_end_le) {
-    return pileup_build_impl(nb, flag_mask, mapq_thresh, wbeg, wend,
-                             drop_first_end_le);
+    return pileup_build_tpl(ArrayReads{nb}, flag_mask, mapq_thresh, wbeg,
+                            wend, drop_first_end_le);
 }
 
 NativePileup* pileup_build_window_flagged(
@@ -849,8 +1018,59 @@ NativePileup* pileup_build_window_flagged(
     int64_t wend, int64_t drop_first_end_le, const uint8_t* ref16,
     const int64_t* ref_off, int32_t n_ref, const double* fk,
     const double* gmin, double margin) {
-    NativePileup* np = pileup_build_impl(nb, flag_mask, mapq_thresh, wbeg,
-                                         wend, drop_first_end_le);
+    NativePileup* np = pileup_build_tpl(ArrayReads{nb}, flag_mask,
+                                        mapq_thresh, wbeg, wend,
+                                        drop_first_end_le);
+    if (np && ref16)
+        fill_pure_flags(np, ref16, ref_off, n_ref, fk, gmin, margin);
+    return np;
+}
+
+// Fused whole-file load: BGZF inflate -> record-boundary scan -> pileup
+// build directly off the record bytes (BufReads).  Skips materializing
+// the columnar NativeBam arrays (per-base seq/qual unpack, cigar copy)
+// entirely — the production load path only ever wants the pileup.
+// ``ref16`` != NULL additionally computes the fused pure-reference
+// margin flags (same tail arguments as pileup_build_flagged).
+NativePileup* bam_load_pileup(const char* path, int n_threads,
+                              int flag_mask, int mapq_thresh,
+                              const uint8_t* ref16, const int64_t* ref_off,
+                              int32_t n_ref, const double* fk,
+                              const double* gmin, double margin) {
+    std::vector<uint8_t> raw;
+    if (!read_file(path, raw)) {
+        g_err = std::string("cannot read ") + path;
+        return nullptr;
+    }
+    std::vector<uint8_t> buf;
+    if (!bgzf_decompress(raw, buf, n_threads, g_err)) return nullptr;
+    raw.clear();
+    raw.shrink_to_fit();
+    int64_t p = parse_bam_header(buf.data(), (int64_t)buf.size(), nullptr);
+    if (p < 0) {
+        g_err = p == -1 ? "truncated BAM header"
+                        : "not a BAM file (bad magic)";
+        return nullptr;
+    }
+    const int64_t n = (int64_t)buf.size();
+    std::vector<int64_t> off;
+    off.reserve((size_t)((n - p) / 100) + 16);
+    while (p + 4 <= n) {
+        int32_t bs = rd_i32(&buf[p]);
+        if (bs < 32 || p + 4 + bs > n) {
+            g_err = "truncated BAM record";
+            return nullptr;
+        }
+        off.push_back(p + 4);
+        p += 4 + bs;
+    }
+    if (p != n) {
+        g_err = "trailing bytes after last BAM record";
+        return nullptr;
+    }
+    BufReads rd{buf.data(), off.data(), (int64_t)off.size()};
+    NativePileup* np =
+        pileup_build_tpl(rd, flag_mask, mapq_thresh, -1, -1, -1);
     if (np && ref16)
         fill_pure_flags(np, ref16, ref_off, n_ref, fk, gmin, margin);
     return np;

@@ -56,13 +56,11 @@ def load_and_columnize(
     lib = native.get_lib()
     if lib is None:
         raise RuntimeError("native library unavailable")
-    nb = lib.bam_load(path.encode(), n_threads or _default_threads())
-    if not nb:
-        raise IOError(
-            f"{path}: {lib.sniper_last_error().decode()}"
-        )
+    hd = lib.bam_read_header(path.encode())
+    if not hd:
+        raise IOError(f"{path}: {lib.sniper_last_error().decode()}")
     try:
-        c = nb.contents
+        c = hd.contents
         names_blob = ctypes.string_at(c.ref_names, c.ref_names_len)
         ref_names = [
             n.decode() for n in names_blob.split(b"\x00") if n
@@ -75,39 +73,24 @@ def load_and_columnize(
             ref_names=ref_names,
             ref_lengths=[int(x) for x in ref_lengths],
         )
-        if flag_args is not None:
-            tail, _keep = _flag_tail_args(flag_args)
-            np_ = lib.pileup_build_flagged(nb, flag_mask, mapq_thresh,
-                                           *tail)
-        else:
-            np_ = lib.pileup_build(nb, flag_mask, mapq_thresh)
-        if not np_:
-            raise IOError(
-                f"{path}: pileup build failed: "
-                f"{lib.sniper_last_error().decode()}"
-            )
-        owner = _PileupHandle(lib, np_)
-        pc = np_.contents
-        ne, nc = pc.n_entries, pc.n_cols
-        if nc == 0:
-            slots = np.zeros(0, np.uint32)
-            ukeys = np.zeros(0, np.int64)
-            offsets = np.zeros(1, np.int64)
-        else:
-            # zero-copy views; ``owner`` keeps the native storage alive
-            slots = np.ctypeslib.as_array(pc.slots, shape=(ne,))
-            ukeys = np.ctypeslib.as_array(pc.ukeys, shape=(nc,))
-            offsets = np.ctypeslib.as_array(pc.offsets, shape=(nc + 1,))
-        pileup = ColumnarPileup(
-            keys=None,
-            slots=slots,
-            ukeys=ukeys,
-            offsets=offsets,
-            owner=owner,
-        )
     finally:
-        lib.bam_destroy(nb)
-    return header, pileup
+        lib.bam_header_destroy(hd)
+    # fused load: inflate -> record scan -> pileup straight off the
+    # record bytes; no intermediate NativeBam arrays are materialized
+    if flag_args is not None:
+        tail, _keep = _flag_tail_args(flag_args)
+    else:
+        tail = (None, None, 0, None, None, 0.0)
+    np_ = lib.bam_load_pileup(
+        path.encode(), n_threads or _default_threads(), flag_mask,
+        mapq_thresh, *tail,
+    )
+    if not np_:
+        raise IOError(
+            f"{path}: pileup build failed: "
+            f"{lib.sniper_last_error().decode()}"
+        )
+    return header, _wrap_pileup(lib, np_)
 
 
 def _wrap_pileup(lib, np_ptr) -> ColumnarPileup:

@@ -74,6 +74,39 @@ int main(int argc, char** argv) {
     glf_cns_batch(pt, ci.data(), B, r16.data(), coef.data(), lhet.data(),
                   fk.data(), 30, cns.data(), keep.data());
 
+    // per-site depth/quality stats over the same columns
+    std::vector<int32_t> rb4(B, 1), wanted(B, 0xF), dq(B * 18);
+    pileup_dqstats(pt, ci.data(), B, rb4.data(), wanted.data(), dq.data());
+
+    // fused load path (header-only read + pileup straight off the
+    // record bytes) must agree with the two-phase build above
+    NativeBamHeader* hd = bam_read_header(argv[1]);
+    if (!hd || hd->n_ref != bt->n_ref) {
+        std::fprintf(stderr, "bam_read_header mismatch\n");
+        return 1;
+    }
+    NativePileup* pf = bam_load_pileup(argv[1], 2, 1796, 0, ref16.data(),
+                                       ref_off.data(), bt->n_ref,
+                                       fk.data(), gmin.data(), 2.0);
+    if (!pf || pf->n_cols != pt->n_cols || pf->n_entries != pt->n_entries) {
+        std::fprintf(stderr, "bam_load_pileup mismatch\n");
+        return 1;
+    }
+    for (int64_t c = 0; c <= pf->n_cols; ++c)
+        if (pf->offsets[c] != pt->offsets[c]) {
+            std::fprintf(stderr, "fused offsets diverge at %lld\n",
+                         (long long)c);
+            return 1;
+        }
+    for (int64_t i = 0; i < pf->n_entries; ++i)
+        if (pf->slots[i] != pt->slots[i]) {
+            std::fprintf(stderr, "fused slots diverge at %lld\n",
+                         (long long)i);
+            return 1;
+        }
+    pileup_destroy(pf);
+    bam_header_destroy(hd);
+
     std::printf("ok n_reads=%lld/%lld cols=%lld/%lld plan=%lld\n",
                 (long long)bt->n_reads, (long long)bn->n_reads,
                 (long long)pt->n_cols, (long long)pn->n_cols,
