@@ -215,6 +215,14 @@ def get_lib():
         lib.bam_load_pileup.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ] + _flag_tail
+        lib.bam_load_region_pileup.restype = ctypes.POINTER(
+            NativePileupStruct
+        )
+        lib.bam_load_region_pileup.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+        ] + _flag_tail
         lib.sniper_last_error.restype = ctypes.c_char_p
         _lib = lib
         return _lib

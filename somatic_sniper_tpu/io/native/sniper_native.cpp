@@ -478,26 +478,24 @@ static int64_t rec_ref_span(const uint8_t* r) {
     return span > 0 ? span : 1;
 }
 
-}  // namespace
-
-extern "C" {
-
-// Region load via BAI virtual-offset chunks (region sharding path; the
-// reference streams whole files — SURVEY.md §2.2 calls out that sharded
-// readers need the index).  ``chunks`` is a flattened [n_chunks, 2] i64
-// array of merged (vbeg, vend) virtual offsets from the Python BAI
-// layer; only those compressed byte ranges are read and inflated.
-// Returns reads of ``tid`` overlapping [beg, end) — no header fields.
-NativeBam* bam_load_region(const char* path, const int64_t* chunks,
-                           int64_t n_chunks, int32_t tid, int64_t beg,
-                           int64_t end, int n_threads) {
+// Shared core of the region loaders: inflate the BAI virtual-offset
+// chunk spans of one region query into ``all`` and collect the body
+// offsets (into ``all``) of records on ``tid`` overlapping [beg, end).
+// Chunk semantics follow vendor bam_index.c: a virtual offset packs
+// (compressed block offset << 16 | within-block offset); a chunk may
+// start/end mid-block.
+static bool region_scan(const char* path, const int64_t* chunks,
+                        int64_t n_chunks, int32_t tid, int64_t beg,
+                        int64_t end, int n_threads,
+                        std::vector<uint8_t>& all,
+                        std::vector<int64_t>& kept, std::string& err) {
     FILE* f = fopen(path, "rb");
     if (!f) {
-        g_err = std::string("cannot read ") + path;
-        return nullptr;
+        err = std::string("cannot read ") + path;
+        return false;
     }
-    auto* st = new BamStorage();
-    std::vector<uint8_t> carry;  // record bytes spanning a chunk boundary
+    if (n_threads < 1) n_threads = 1;
+    libdeflate_probe();
     for (int64_t ci = 0; ci < n_chunks; ++ci) {
         int64_t vbeg = chunks[2 * ci], vend = chunks[2 * ci + 1];
         int64_t c_beg = vbeg >> 16, c_end = vend >> 16;
@@ -506,16 +504,15 @@ NativeBam* bam_load_region(const char* path, const int64_t* chunks,
         // read the compressed span [c_beg, c_end (+ last block)]
         fseek(f, c_beg, SEEK_SET);
         std::vector<uint8_t> comp;
-        std::vector<uint8_t> buf;
         int64_t last_block_usize = 0;
+        std::vector<BgzfBlock> blocks;
+        int64_t total = 0;
         {
             // scan block headers forward from c_beg; a vend with
             // u_end == 0 ends at the *start* of block c_end, which is
             // then not needed at all
             int64_t off = c_beg;
             int64_t last_needed = u_end > 0 ? c_end : c_end - 1;
-            std::vector<BgzfBlock> blocks;
-            int64_t total = 0;
             while (off <= last_needed) {
                 uint8_t hdr[12];  // gzip fixed header incl. XLEN
                 if (fread(hdr, 1, 12, f) != 12) break;
@@ -532,7 +529,6 @@ NativeBam* bam_load_region(const char* path, const int64_t* chunks,
                 }
                 if (bsize < 0) break;
                 int32_t comp_size = bsize - (int32_t)(12 + xlen) - 8;
-                int64_t payload = off + 12 + xlen;
                 size_t base = comp.size();
                 comp.resize(base + comp_size + 8);
                 if (fread(comp.data() + base, 1, comp_size + 8, f) !=
@@ -544,62 +540,92 @@ NativeBam* bam_load_region(const char* path, const int64_t* chunks,
                 total += isize;
                 if (off == c_end) last_block_usize = isize;
                 off += bsize;
-                (void)payload;
-            }
-            buf.resize(total);
-            libdeflate_probe();
-            std::atomic<size_t> next(0);
-            std::atomic<bool> ok(true);
-            auto worker = [&]() {
-                for (;;) {
-                    size_t i = next.fetch_add(1);
-                    if (i >= blocks.size()) break;
-                    const BgzfBlock& b = blocks[i];
-                    if (b.out_size == 0) continue;
-                    if (!inflate_block(&comp[b.in_off], b.in_size,
-                                       &buf[b.out_off], b.out_size))
-                        ok.store(false);
-                }
-            };
-            std::vector<std::thread> ts;
-            if (n_threads < 1) n_threads = 1;
-            for (int t = 1; t < n_threads && (size_t)t < blocks.size(); ++t)
-                ts.emplace_back(worker);
-            worker();
-            for (auto& t : ts) t.join();
-            if (!ok.load()) {
-                g_err = "BGZF inflate failure (region)";
-                delete st;
-                fclose(f);
-                return nullptr;
             }
         }
-        // decode records in [u_beg, end-of-buf minus trailing cut)
-        int64_t p = u_beg;
-        int64_t n = (int64_t)buf.size();
+        const int64_t abase = (int64_t)all.size();
+        all.resize((size_t)(abase + total));
+        std::atomic<size_t> next(0);
+        std::atomic<bool> ok(true);
+        auto worker = [&]() {
+            for (;;) {
+                size_t i = next.fetch_add(1);
+                if (i >= blocks.size()) break;
+                const BgzfBlock& b = blocks[i];
+                if (b.out_size == 0) continue;
+                if (!inflate_block(&comp[b.in_off], b.in_size,
+                                   &all[abase + b.out_off], b.out_size))
+                    ok.store(false);
+            }
+        };
+        std::vector<std::thread> ts;
+        for (int t = 1; t < n_threads && (size_t)t < blocks.size(); ++t)
+            ts.emplace_back(worker);
+        worker();
+        for (auto& t : ts) t.join();
+        if (!ok.load()) {
+            err = "BGZF inflate failure (region)";
+            fclose(f);
+            return false;
+        }
+        // collect records in [u_beg, end-of-chunk minus trailing cut)
+        int64_t p = abase + u_beg;
+        int64_t n = abase + total;
         // the chunk may end inside the last block at u_end
         int64_t stop = n;
         if (u_end > 0 && last_block_usize > 0)
             stop = n - last_block_usize + u_end;
         else if (u_end > 0 && c_beg == c_end)
-            stop = u_end;
+            stop = abase + u_end;
         while (p + 4 <= stop) {
-            int32_t bs = rd_i32(&buf[p]);
+            int32_t bs = rd_i32(&all[p]);
             if (p + 4 + bs > n) break;  // record clipped by chunk end
-            const uint8_t* r = &buf[p + 4];
+            const uint8_t* r = &all[p + 4];
             int32_t rtid = rd_i32(r + 0);
             int64_t rpos = rd_i32(r + 4);
-            if (rtid == tid && rpos < end &&
-                rpos + rec_ref_span(r) > beg)
-                decode_record(st, r);
+            if (rtid == tid && rpos < end && rpos + rec_ref_span(r) > beg)
+                kept.push_back(p + 4);
             if (rtid > tid || (rtid == tid && rpos >= end)) break;
             p += 4 + bs;
         }
     }
     fclose(f);
-    (void)carry;
+    return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Region load via BAI virtual-offset chunks (region sharding path; the
+// reference streams whole files — SURVEY.md §2.2 calls out that sharded
+// readers need the index).  ``chunks`` is a flattened [n_chunks, 2] i64
+// array of merged (vbeg, vend) virtual offsets from the Python BAI
+// layer; only those compressed byte ranges are read and inflated.
+// Returns reads of ``tid`` overlapping [beg, end) — no header fields.
+NativeBam* bam_load_region(const char* path, const int64_t* chunks,
+                           int64_t n_chunks, int32_t tid, int64_t beg,
+                           int64_t end, int n_threads) {
+    std::vector<uint8_t> all;
+    std::vector<int64_t> kept;
+    if (!region_scan(path, chunks, n_chunks, tid, beg, end, n_threads,
+                     all, kept, g_err))
+        return nullptr;
+    auto* st = new BamStorage();
+    for (int64_t off : kept) decode_record(st, &all[off]);
     return finish_bam(st);
 }
+
+// Fused region load (the windowed/sharded production path): inflate
+// the BAI chunk spans, collect overlapping record offsets, and build
+// the window-clipped pileup straight off the record bytes — no
+// intermediate NativeBam (see bam_load_pileup).  ``ref16`` != NULL
+// additionally computes the fused pure-reference margin flags.
+NativePileup* bam_load_region_pileup(
+    const char* path, const int64_t* chunks, int64_t n_chunks,
+    int32_t tid, int64_t beg, int64_t end, int n_threads, int flag_mask,
+    int mapq_thresh, int64_t drop_first_end_le, const uint8_t* ref16,
+    const int64_t* ref_off, int32_t n_ref, const double* fk,
+    const double* gmin, double margin);
 
 // Header-only read: inflates BGZF blocks from the file start only until
 // the header section (vendor bam.c:90) is complete — the fused load
@@ -1071,6 +1097,25 @@ NativePileup* bam_load_pileup(const char* path, int n_threads,
     BufReads rd{buf.data(), off.data(), (int64_t)off.size()};
     NativePileup* np =
         pileup_build_tpl(rd, flag_mask, mapq_thresh, -1, -1, -1);
+    if (np && ref16)
+        fill_pure_flags(np, ref16, ref_off, n_ref, fk, gmin, margin);
+    return np;
+}
+
+NativePileup* bam_load_region_pileup(
+    const char* path, const int64_t* chunks, int64_t n_chunks,
+    int32_t tid, int64_t beg, int64_t end, int n_threads, int flag_mask,
+    int mapq_thresh, int64_t drop_first_end_le, const uint8_t* ref16,
+    const int64_t* ref_off, int32_t n_ref, const double* fk,
+    const double* gmin, double margin) {
+    std::vector<uint8_t> all;
+    std::vector<int64_t> kept;
+    if (!region_scan(path, chunks, n_chunks, tid, beg, end, n_threads,
+                     all, kept, g_err))
+        return nullptr;
+    BufReads rd{all.data(), kept.data(), (int64_t)kept.size()};
+    NativePileup* np = pileup_build_tpl(rd, flag_mask, mapq_thresh, beg,
+                                        end, drop_first_end_le);
     if (np && ref16)
         fill_pure_flags(np, ref16, ref_off, n_ref, fk, gmin, margin);
     return np;

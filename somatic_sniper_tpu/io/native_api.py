@@ -137,28 +137,24 @@ def load_region_and_columnize(
     if lib is None:
         raise RuntimeError("native library unavailable")
     ch = np.ascontiguousarray(np.asarray(chunks, np.int64).reshape(-1, 2))
-    nb = lib.bam_load_region(
+    if flag_args is not None:
+        tail, _keep = _flag_tail_args(flag_args)
+    else:
+        tail = (None, None, 0, None, None, 0.0)
+    # fused region load (see bam_load_region_pileup): no intermediate
+    # NativeBam arrays are materialized
+    np_ = lib.bam_load_region_pileup(
         path.encode(),
         ch.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         len(ch), tid, beg, end, n_threads or _default_threads(),
+        flag_mask, mapq_thresh, drop_first_end_le, *tail,
     )
-    if not nb:
-        raise IOError(f"{path}: {lib.sniper_last_error().decode()}")
-    try:
-        if flag_args is not None:
-            tail, _keep = _flag_tail_args(flag_args)
-            np_ = lib.pileup_build_window_flagged(
-                nb, flag_mask, mapq_thresh, beg, end, drop_first_end_le,
-                *tail,
-            )
-        else:
-            np_ = lib.pileup_build_window(nb, flag_mask, mapq_thresh, beg,
-                                          end, drop_first_end_le)
-        if not np_:
-            raise IOError(f"{path}: windowed pileup build failed")
-        return _wrap_pileup(lib, np_)
-    finally:
-        lib.bam_destroy(nb)
+    if not np_:
+        raise IOError(
+            f"{path}: region pileup build failed: "
+            f"{lib.sniper_last_error().decode()}"
+        )
+    return _wrap_pileup(lib, np_)
 
 
 class _PileupHandle:
