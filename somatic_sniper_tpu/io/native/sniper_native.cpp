@@ -1198,16 +1198,20 @@ int64_t region_last_kept_start(const char* path, const int64_t* chunks,
                                int64_t n_chunks, int32_t tid, int64_t beg,
                                int64_t end, int flag_mask, int mapq_thresh,
                                int n_threads) {
-    NativeBam* nb =
-        bam_load_region(path, chunks, n_chunks, tid, beg, end, n_threads);
-    if (!nb) return -2;
+    std::vector<uint8_t> all;
+    std::vector<int64_t> kept;
+    if (!region_scan(path, chunks, n_chunks, tid, beg, end, n_threads,
+                     all, kept, g_err))
+        return -2;
     const int fmask = flag_mask | 0x4;
     int64_t last = -1;
-    for (int64_t r = 0; r < nb->n_reads; ++r)
-        if ((nb->flag[r] & fmask) == 0 && nb->mapq[r] >= mapq_thresh &&
-            (int64_t)nb->pos[r] > last)
-            last = nb->pos[r];
-    bam_destroy(nb);
+    for (int64_t off : kept) {
+        const uint8_t* r = &all[off];
+        if ((rd_u16(r + 14) & fmask) == 0 && r[9] >= mapq_thresh) {
+            int64_t pos = rd_i32(r + 4);
+            if (pos > last) last = pos;
+        }
+    }
     return last;
 }
 
@@ -1512,6 +1516,232 @@ static int32_t glf_exact_cns(const NativePileup* np, int64_t c, int32_t rc,
     return kGlfBase[best];
 }
 
+// ---- near-pure consensus shortcut (tier 2a) -------------------------------
+//
+// For the ~20% of shared columns that fail the pure-reference margin
+// test, the dominant case is a handful of sequencing-error reads on an
+// otherwise reference-only pileup.  Proving that the exact model calls
+// hom-ref for such a column needs far less work than evaluating all 10
+// genotypes: p[r][r] depends only on the non-reference entries (exact,
+// bit-identical arithmetic on <= 8 entries), and every other genotype
+// admits a cheap sound lower bound:
+//   * genotypes without r pay the full reference-class esum, lower-
+//     bounded via Chebyshev's sum inequality (fk is decreasing, effq
+//     descending by rank: sum fk[i]*e_(i) >= mean(fk)*sum(e) per class);
+//   * hets r/x pay the het log-likelihood term -4.343*lhet[c_r][c_x]
+//     (an exact lookup, since the counts are known);
+//   * the coef correction is bounded below by a per-(n,k) minimum over
+//     the 60 possible mean-quality rows (precomputed once per table).
+// When every competing genotype's bound clears p[r][r] by >= 1.5 (one
+// quantization unit plus float-rounding slack) and the reference class
+// provably owns the "fix p[k,k]" adjustment, the quantized lk of every
+// non-hom-ref genotype is >= 1 while hom-ref is 0 with zero het
+// penalty, so sniper_glf2cns (first-minimum scan) must return r.
+// Inconclusive columns (true variants, junk piles, depth > 255) fall
+// back to glf_exact_cns — output never changes, only the filter cost.
+
+static const double* shortcut_coefmin(const double* coef) {
+    // min over the reachable mean-quality rows (bar_e clips to [4,63]),
+    // clamped to <= 0 so it can be added as a pessimistic correction
+    static std::mutex mu;
+    static const double* key = nullptr;
+    static std::vector<double> cm;
+    std::lock_guard<std::mutex> g(mu);
+    if (key != coef) {
+        cm.assign(256 * 256, 0.0);
+        for (int nn = 0; nn < 256; ++nn)
+            for (int kk = 0; kk < 256; ++kk) {
+                double mn = 0.0;
+                for (int q = 4; q <= 63; ++q) {
+                    double v = coef[((int64_t)q << 16) |
+                                    ((int64_t)nn << 8) | kk];
+                    if (v < mn) mn = v;
+                }
+                cm[(size_t)nn * 256 + kk] = mn;
+            }
+        key = coef;
+    }
+    return cm.data();
+}
+
+static const double* shortcut_fkpre(const double* fk) {
+    static std::mutex mu;
+    static const double* key = nullptr;
+    static std::vector<double> pre;
+    std::lock_guard<std::mutex> g(mu);
+    if (key != fk) {
+        pre.assign(257, 0.0);
+        for (int i = 0; i < 256; ++i) pre[i + 1] = pre[i] + fk[i];
+        key = fk;
+    }
+    return pre.data();
+}
+
+// Returns 1 (and sets *out_keep to the non-deleted entry count) when
+// the column's exact consensus is proven to be hom-ref rc; 0 when
+// inconclusive.  rc must be an unambiguous ACGT code.
+static int glf_cns_homref_proof(const NativePileup* np, int64_t c,
+                                int32_t rc, const GlfTables& gt,
+                                const double* fkpre, const double* coefmin,
+                                int32_t* out_keep) {
+    int32_t rb2;
+    switch (rc) {
+        case 1: rb2 = 0; break;
+        case 2: rb2 = 1; break;
+        case 4: rb2 = 2; break;
+        case 8: rb2 = 3; break;
+        default: return 0;
+    }
+    const int64_t s0 = np->offsets[c], e0 = np->offsets[c + 1];
+    int32_t n_all = 0;
+    int64_t rcnt[2] = {0, 0}, rsum[2] = {0, 0};
+    uint32_t nr[8];
+    int m = 0;
+    for (int64_t i = s0; i < e0; ++i) {
+        uint32_t w = np->slots[i];
+        if ((w >> 21) & 1) continue;
+        ++n_all;
+        uint32_t mq = w & 0xFF;
+        uint32_t q = (w >> 8) & 0xFF;
+        uint32_t b16 = (w >> 16) & 0xF;
+        uint32_t strand = (w >> 20) & 1;
+        uint32_t eff = q < mq ? q : mq;
+        uint32_t code = b16 ? b16 : (uint32_t)rc;
+        uint32_t base2 = 4;
+        switch (code) {
+            case 1: base2 = 0; break;
+            case 2: base2 = 1; break;
+            case 4: base2 = 2; break;
+            case 8: base2 = 3; break;
+            default: break;
+        }
+        // same packing as glf_exact_cns so ranks/ties replicate
+        uint32_t x = (eff << 24) | (strand << 18) | (q << 8) | mq;
+        if (base2 < 4) x |= (1u << 21) | (base2 << 16);
+        int32_t effq = (int32_t)eff;
+        if (effq < 4 && (q & 0x3F) != 0) effq = 4;
+        if (effq == 0) continue;  // inactive entries never accumulate
+        int32_t k8 = (int32_t)((x >> 16) & 7);
+        if ((k8 & 3) == rb2) {
+            rcnt[k8 >> 2] += 1;
+            rsum[k8 >> 2] += effq;
+        } else {
+            if (m == 8) return 0;  // too impure for the cheap proof
+            nr[m++] = x;
+        }
+    }
+    const int64_t c_r = rcnt[0] + rcnt[1];
+    // exact non-ref accumulation, identical order/arithmetic to
+    // glf_exact_cns (descending packed keys, per-(base,strand) ranks,
+    // float esum updated through double products)
+    for (int a = 1; a < m; ++a) {  // insertion sort descending
+        uint32_t v = nr[a];
+        int b = a - 1;
+        while (b >= 0 && nr[b] < v) {
+            nr[b + 1] = nr[b];
+            --b;
+        }
+        nr[b + 1] = v;
+    }
+    float esum[4] = {0, 0, 0, 0}, fsum[4] = {0, 0, 0, 0};
+    int32_t cnt[4] = {0, 0, 0, 0};
+    int32_t w8[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+    for (int i = 0; i < m; ++i) {
+        uint32_t info = nr[i];
+        int32_t effq = (int32_t)(info >> 24);
+        int32_t low6 = (int32_t)((info >> 8) & 0x3F);
+        if (effq < 4 && low6 != 0) effq = 4;
+        int32_t k8 = (int32_t)((info >> 16) & 7);
+        int32_t k4 = k8 & 3;
+        int32_t wk = w8[k8];
+        double fkw = gt.fk[wk < 255 ? wk : 255];
+        esum[k4] = (float)((double)esum[k4] + fkw * (double)effq);
+        fsum[k4] = (float)((double)fsum[k4] + fkw);
+        cnt[k4] += 1;
+        if (w8[k8] < 255) w8[k8] += 1;
+    }
+    cnt[rb2] = (int32_t)(c_r < 255 ? c_r : 255);
+    int64_t c_tot64 = c_r;
+    for (int k = 0; k < 4; ++k)
+        if (k != rb2) c_tot64 += cnt[k];
+    if (c_tot64 == 0 || c_tot64 > 255) return 0;  // rescale path: bail
+    const int32_t c_tot = (int32_t)c_tot64;
+    const int32_t n_idx = c_tot;
+
+    // exact p[r][r] (bit-identical to the full evaluation)
+    float t1 = 0.0f, t3 = 0.0f;
+    int32_t t2 = 0;
+    for (int k = 0; k < 4; ++k)
+        if (k != rb2) {
+            t1 += esum[k];
+            t3 += fsum[k];
+            t2 += cnt[k];
+        }
+    float p_rr = 0.0f;
+    if (t2 > 0) {
+        float denom = (t3 == 0.0f) ? 1.0f : t3;
+        float ratio = t1 / denom;
+        int32_t be = (int32_t)std::floor((double)ratio + 0.5);
+        if (be < 4) be = 4;
+        if (be > 63) be = 63;
+        int32_t k_idx = t2 < 255 ? t2 : 255;
+        p_rr = (float)((double)t1 +
+                       gt.coef[((int64_t)be << 16) |
+                               ((int64_t)n_idx << 8) | k_idx]);
+    }
+    if (p_rr < 0.0f) p_rr = 0.0f;
+
+    // Chebyshev lower bound on the reference-class esum (per strand
+    // class; 0.5 absorbs the float accumulation error of the real sum)
+    double es_lb = 0.0;
+    for (int st = 0; st < 2; ++st)
+        if (rcnt[st] > 0) {
+            int64_t cc = rcnt[st] < 256 ? rcnt[st] : 256;
+            es_lb += fkpre[cc] * (double)rsum[st] / (double)rcnt[st];
+        }
+    es_lb -= 0.5;
+
+    // fix-step ownership: the reference class must provably hold the
+    // strict esum maximum (then "fix" can only lower p[r][r])
+    double nr_emax = 0.0;
+    for (int k = 0; k < 4; ++k)
+        if (k != rb2 && (double)esum[k] > nr_emax) nr_emax = (double)esum[k];
+    if (!(es_lb > nr_emax)) return 0;
+
+    const double need = (double)p_rr + 1.5;
+    const double* cmrow = coefmin + (size_t)n_idx * 256;
+    // hom x (x != r): p[x][x] >= esum_r + coef_min(n, c_tot - c_x)
+    for (int x = 0; x < 4; ++x) {
+        if (x == rb2) continue;
+        int32_t t2x = c_tot - cnt[x];
+        if (t2x <= 0) return 0;
+        if (es_lb + cmrow[t2x < 255 ? t2x : 255] < need) return 0;
+    }
+    // het r/x: p[r][x] >= -4.343*lhet[c_r][c_x] + coef_min(n, t2h)
+    const int32_t cr_idx = cnt[rb2];
+    for (int x = 0; x < 4; ++x) {
+        if (x == rb2) continue;
+        int32_t cx = cnt[x] < 255 ? cnt[x] : 255;
+        double lh = -4.343 * gt.lhet[(int64_t)cr_idx * 256 + cx];
+        int32_t t2h = c_tot - cnt[rb2] - cnt[x];
+        double b = lh - 0.5 +
+                   (t2h > 0 ? cmrow[t2h < 255 ? t2h : 255] : 0.0);
+        if (b < need) return 0;
+    }
+    // het x/y (neither is r): pays the full reference esum too
+    for (int x = 0; x < 4; ++x) {
+        if (x == rb2) continue;
+        for (int y = x + 1; y < 4; ++y) {
+            if (y == rb2) continue;
+            int32_t t2h = c_tot - cnt[x] - cnt[y];
+            if (t2h <= 0) return 0;
+            if (es_lb + cmrow[t2h < 255 ? t2h : 255] < need) return 0;
+        }
+    }
+    *out_keep = n_all;
+    return 1;
+}
+
 // Per-site depth/quality statistics for emitted columns (exact
 // replication of the reference's get_dqstats, dqstats.c:6-53; see
 // output/dqstats.py for the field semantics).  out is [K, 18] int32:
@@ -1577,6 +1807,24 @@ void glf_cns_batch(const NativePileup* np, const int64_t* col_idx,
     for (int64_t b = 0; b < B; ++b)
         out_cns[b] = glf_exact_cns(np, col_idx[b], ref16[b], gt,
                                    &out_keep[b]);
+}
+
+// Test/debug entry: near-pure hom-ref proof per column (1 = proven,
+// 0 = inconclusive).  Soundness contract under test: proven columns
+// must have glf_exact_cns == ref code with the same keep count.
+void glf_cns_proof_batch(const NativePileup* np, const int64_t* col_idx,
+                         int64_t B, const int32_t* ref16,
+                         const double* coef, const double* lhet,
+                         const double* fk, int32_t q_r_int,
+                         int32_t* out_proven, int32_t* out_keep) {
+    GlfTables gt{coef, lhet, fk, q_r_int};
+    const double* cm = shortcut_coefmin(coef);
+    const double* fp = shortcut_fkpre(fk);
+    for (int64_t b = 0; b < B; ++b) {
+        out_keep[b] = -1;
+        out_proven[b] = glf_cns_homref_proof(np, col_idx[b], ref16[b], gt,
+                                             fp, cm, &out_keep[b]);
+    }
 }
 
 // Fused pair planning: one linear merge over the two sorted ukey lists
@@ -1657,6 +1905,9 @@ int64_t paired_plan(const NativePileup* t, const NativePileup* n,
     if (use_prefilter || (use_cns && coef && lhet)) {
         GlfTables gt{coef, lhet, fk, q_r_int};
         bool cns_on = use_cns && coef && lhet;
+        const double* sc_coefmin =
+            cns_on ? shortcut_coefmin(coef) : nullptr;
+        const double* sc_fkpre = cns_on ? shortcut_fkpre(fk) : nullptr;
         auto work = [&](int64_t lo, int64_t hi) {
             for (int64_t i = lo; i < hi; ++i) {
                 Cand& cd = cands[(size_t)i];
@@ -1682,18 +1933,28 @@ int64_t paired_plan(const NativePileup* t, const NativePileup* n,
                     continue;
                 }
                 int32_t keep_t = 1, keep_n = 1;
-                int32_t cns_t = cd.pure_t
-                                    ? cd.r16
-                                    : glf_exact_cns(t, cd.ti, cd.r16, gt,
-                                                    &keep_t);
+                int32_t cns_t;
+                if (cd.pure_t)
+                    cns_t = cd.r16;
+                else if (glf_cns_homref_proof(t, cd.ti, cd.r16, gt,
+                                              sc_fkpre, sc_coefmin,
+                                              &keep_t))
+                    cns_t = cd.r16;
+                else
+                    cns_t = glf_exact_cns(t, cd.ti, cd.r16, gt, &keep_t);
                 if (keep_t == 0) {
                     drop[(size_t)i] = 1;
                     continue;
                 }
-                int32_t cns_n = cd.pure_n
-                                    ? cd.r16
-                                    : glf_exact_cns(n, cd.ni, cd.r16, gt,
-                                                    &keep_n);
+                int32_t cns_n;
+                if (cd.pure_n)
+                    cns_n = cd.r16;
+                else if (glf_cns_homref_proof(n, cd.ni, cd.r16, gt,
+                                              sc_fkpre, sc_coefmin,
+                                              &keep_n))
+                    cns_n = cd.r16;
+                else
+                    cns_n = glf_exact_cns(n, cd.ni, cd.r16, gt, &keep_n);
                 drop[(size_t)i] = (keep_n == 0) || (cns_t == cns_n);
             }
         };

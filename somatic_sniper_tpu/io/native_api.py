@@ -284,6 +284,42 @@ def glf_cns(
     return cns, keep
 
 
+def glf_cns_proof(
+    pu: ColumnarPileup,
+    col_idx: np.ndarray,
+    ref16: np.ndarray,
+    coef: np.ndarray,
+    lhet: np.ndarray,
+    fk: np.ndarray,
+    q_r_int: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(proven i32[B], keep i32[B]) near-pure hom-ref proof per column
+    (tier 2a of the plan filter) — test surface for its soundness
+    contract: proven columns must have glf_cns == ref code."""
+    import ctypes as ct
+
+    lib = pu.owner._lib
+    ci = np.ascontiguousarray(col_idx, np.int64)
+    r16 = np.ascontiguousarray(ref16, np.int32)
+    coef_c = np.ascontiguousarray(coef, np.float64)
+    lhet_c = np.ascontiguousarray(lhet, np.float64)
+    fk_c = np.ascontiguousarray(fk, np.float64)
+    B = len(ci)
+    proven = np.empty(B, np.int32)
+    keep = np.empty(B, np.int32)
+    dp = ct.POINTER(ct.c_double)
+    lib.glf_cns_proof_batch(
+        pu.owner._ptr,
+        ci.ctypes.data_as(ct.POINTER(ct.c_int64)), B,
+        r16.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        coef_c.ctypes.data_as(dp), lhet_c.ctypes.data_as(dp),
+        fk_c.ctypes.data_as(dp), int(q_r_int),
+        proven.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        keep.ctypes.data_as(ct.POINTER(ct.c_int32)),
+    )
+    return proven, keep
+
+
 def paired_plan(
     pu_t: ColumnarPileup,
     pu_n: ColumnarPileup,

@@ -120,16 +120,18 @@ def get_dqstats_batch(pu, col_idx, rb4, wanted) -> list[DqStats]:
         return []
     native_rows = _native_dqstats(pu, col_idx, rb4, wanted)
     if native_rows is not None:
+        # one bulk tolist(), then cheap python-list slicing per record
+        # (numpy row views + int() per field were ~3x slower here)
         return [
             DqStats(
                 mean_baseq=r[0:4],
                 mean_mapq=r[4:8],
                 base_occ=r[8:12],
                 dp4=r[12:16],
-                total_depth=int(r[16]),
-                total_mean_mapq=int(r[17]),
+                total_depth=r[16],
+                total_mean_mapq=r[17],
             )
-            for r in native_rows
+            for r in native_rows.tolist()
         ]
     starts = pu.offsets[col_idx]
     counts = (pu.offsets[col_idx + 1] - starts).astype(np.int64)

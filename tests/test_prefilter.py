@@ -176,3 +176,28 @@ def test_cns_filter_scores_only_near_emitted(data_dir):
     recs = list(call_pair(*args, precision="fast", prefilter=True))
     scored = STATS.counts.get("columns_scored", 0)
     assert scored <= max(2 * len(recs), 64)
+
+
+def test_homref_proof_sound(data_dir, tabs):
+    """Tier-2a near-pure shortcut soundness: every column the proof
+    accepts must have exact consensus == ref code and the same keep
+    count as glf_exact_cns — over ALL columns of both sim samples."""
+    for sample in ("tumor", "normal"):
+        header, pu = _load(data_dir, sample)
+        ref16, ref_off = _refblob(data_dir, header)
+        idx = np.arange(len(pu.ukeys), dtype=np.int64)
+        tid = (pu.ukeys >> 40).astype(np.int64)
+        pos = (pu.ukeys & ((1 << 40) - 1)).astype(np.int64)
+        rb4 = ref16[ref_off[tid] + pos].astype(np.int32)
+        proven, keep_p = native_api.glf_cns_proof(
+            pu, idx, rb4, tabs.coef, tabs.lhet, tabs.fk, tabs.q_r_int
+        )
+        cns, keep_e = native_api.glf_cns(
+            pu, idx, rb4, tabs.coef, tabs.lhet, tabs.fk, tabs.q_r_int
+        )
+        pm = proven.astype(bool)
+        assert pm.any(), "proof never fires on sim data"
+        np.testing.assert_array_equal(cns[pm], rb4[pm])
+        np.testing.assert_array_equal(keep_p[pm], keep_e[pm])
+        # proof must never fire on an ambiguous reference code
+        assert not pm[~np.isin(rb4, (1, 2, 4, 8))].any()
