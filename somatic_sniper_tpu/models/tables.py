@@ -36,7 +36,8 @@ import math
 
 import numpy as np
 
-from ..constants import GLF_BASE, IS_HOM, PHRED_CONST, THETA_POP, log_phred
+from ..constants import (GLF_BASE, IS_HET, IS_HOM, PHRED_CONST,
+                         THETA_POP, log_phred)
 
 _libm = ctypes.CDLL(ctypes.util.find_library("m") or "libm.so.6")
 _libm.lgamma.restype = ctypes.c_double
@@ -179,7 +180,17 @@ def compute_solo_prior() -> np.ndarray:
 
 @functools.lru_cache(maxsize=8)
 def compute_joint_prior(somatic_rate: float) -> np.ndarray:
-    """jointprior[ref16, normal10, tumor10] (reference somatic_sniper.c:47-77)."""
+    """jointprior[ref16, normal10, tumor10] (reference somatic_sniper.c:47-77).
+
+    Quirk preserved: the reference tests ``isHet[j] || isHom[j]`` with
+    ``j`` being the tumor genotype INDEX (0..9) into the 16-entry
+    base-code-indexed tables (somatic_sniper.c:66-68) — so for tumor
+    genotypes AA (j=0) and GG (j=7) the shared-allele branch never
+    fires and the transition pays the somatic_rate^2 penalty even when
+    normal and tumor share an allele.  (Both index-quirk branches add
+    logPhred(somatic_rate), and both fall-through branches add the
+    squared term, so the indexes are the only observable effect.)
+    """
     jp = np.zeros((16, 10, 10), dtype=np.int32)
     lp_som = log_phred(somatic_rate)
     lp_som2 = log_phred(somatic_rate * somatic_rate)
@@ -198,7 +209,7 @@ def compute_joint_prior(somatic_rate: float) -> np.ndarray:
                 c = int(GLF_BASE[j])
                 if b == c:
                     jp[ref, i, j] = germ
-                elif b & c:
+                elif (b & c) and (IS_HET[j] or IS_HOM[j]):
                     jp[ref, i, j] = germ + lp_som
                 else:
                     jp[ref, i, j] = germ + lp_som2

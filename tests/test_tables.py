@@ -55,3 +55,29 @@ def test_arithmetic_qadd_matches_table():
     idx = np.clip(512 + y - x, 0, 1023)
     want = x + table[idx]
     np.testing.assert_array_equal(got, want)
+
+
+def test_joint_prior_index_quirk():
+    """The reference tests isHet[j]/isHom[j] with the genotype INDEX j
+    (0..9) into 16-entry base-code tables (somatic_sniper.c:66-68), so
+    tumor genotypes AA (j=0) and GG (j=7) always pay the somatic_rate^2
+    penalty even when sharing an allele with the normal genotype.
+    Values below are the reference binary's jointprior[ref=C] for
+    -s 0.0001 (dumped with tests/tools oracle tooling)."""
+    jp = T.compute_joint_prior(0.0001)[2]
+    expected = np.array([
+        [33, 73, 73, 73, 113, 113, 113, 113, 113, 113],
+        [110, 30, 70, 70, 70, 70, 70, 110, 110, 110],
+        [140, 100, 60, 100, 140, 100, 140, 140, 100, 140],
+        [140, 100, 100, 60, 140, 140, 100, 140, 100, 100],
+        [80, 40, 80, 80, 0, 40, 40, 80, 80, 80],
+        [110, 70, 70, 110, 70, 30, 70, 110, 70, 110],
+        [110, 70, 110, 70, 70, 70, 30, 110, 70, 70],
+        [113, 113, 73, 113, 113, 73, 113, 33, 73, 113],
+        [140, 140, 100, 100, 140, 100, 100, 140, 60, 100],
+        [113, 113, 113, 73, 113, 113, 73, 113, 73, 33],
+    ])
+    np.testing.assert_array_equal(jp, expected)
+    # the quirk's observable signature: AC->AA shares an allele but
+    # still pays the squared penalty (110 = 30 + 2*logPhred(1e-4))
+    assert jp[1, 0] == 110 and jp[1, 2] == 70
