@@ -218,6 +218,23 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.exact_pair_rows.restype = ctypes.c_int64
+        lib.exact_pair_rows.argtypes = [
+            ctypes.POINTER(NativePileupStruct),
+            ctypes.POINTER(NativePileupStruct),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.bam_read_header.restype = ctypes.POINTER(NativeBamHeaderStruct)
         lib.bam_read_header.argtypes = [ctypes.c_char_p]
         lib.bam_header_destroy.argtypes = [

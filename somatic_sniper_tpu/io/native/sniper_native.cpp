@@ -1343,8 +1343,11 @@ struct GlfTables {
 
 // Best genotype (4-bit allele set) of one pileup column; *out_keep gets
 // the non-deleted entry count (the caller's glf-depth gate).
-static int32_t glf_exact_cns(const NativePileup* np, int64_t c, int32_t rc,
-                             const GlfTables& gt, int32_t* out_keep) {
+// Exact (f64, bit-identical to the reference) per-column glfgen: fills
+// the quantized 10-genotype likelihoods and the kept-entry count.
+static void glf_exact_lk(const NativePileup* np, int64_t c, int32_t rc,
+                         const GlfTables& gt, int32_t lk[10],
+                         int32_t* out_keep) {
     int64_t s0 = np->offsets[c], e0 = np->offsets[c + 1];
     thread_local std::vector<uint32_t> keys;
     keys.clear();
@@ -1371,7 +1374,6 @@ static int32_t glf_exact_cns(const NativePileup* np, int64_t c, int32_t rc,
     }
     int32_t n = (int32_t)keys.size();
     *out_keep = n;
-    int32_t lk[10];
     if (n == 0) {
         for (int i = 0; i < 10; ++i) lk[i] = 0;
     } else {
@@ -1503,6 +1505,12 @@ static int32_t glf_exact_cns(const NativePileup* np, int64_t c, int32_t rc,
                         : (int32_t)std::floor((double)dl + 0.5);
         }
     }
+}
+
+static int32_t glf_exact_cns(const NativePileup* np, int64_t c, int32_t rc,
+                             const GlfTables& gt, int32_t* out_keep) {
+    int32_t lk[10];
+    glf_exact_lk(np, c, rc, gt, lk, out_keep);
     // glf2cns: het penalty, first minimum wins (reference :250-273)
     int best = 0;
     int32_t bestv = lk[0] + kHetPen[0] * gt.q_r_int;
@@ -1825,6 +1833,217 @@ void glf_cns_proof_batch(const NativePileup* np, const int64_t* col_idx,
         out_proven[b] = glf_cns_homref_proof(np, col_idx[b], ref16[b], gt,
                                              fp, cm, &out_keep[b]);
     }
+}
+
+// ---- native exact scorer ---------------------------------------------------
+//
+// Full exact-mode replication of the per-column scoring pipeline
+// downstream of glfgen (see models/consensus.py and models/somatic.py,
+// reference somatic_sniper.c:109-273): consensus calling with het
+// penalty, solo posteriors or the joint 10x10 prior grid (including the
+// stale-index quirk), LOH/GOR gating, statuses.  All integer phred
+// arithmetic via the caller-supplied qAdd table — no device round trip.
+
+// sniper_glf2cns semantics (reference sniper_maqcns.c:250-282): three
+// strict-< minima over the 10 genotype slots in lk order (equal to the
+// reference's 16-slot linear scan; ties keep the earlier slot), plus
+// the n==0 guard of sniper_maqcns_call.
+static void glf2cns4(const int32_t lk[10], int32_t n_total, int32_t q_r,
+                     int32_t* b1, int32_t* b2, int32_t* s1, int32_t* s2) {
+    if (n_total == 0) {
+        *b1 = 15;
+        *b2 = 15;
+        *s1 = 0;
+        *s2 = 0;
+        return;
+    }
+    int32_t mn = 10000, mn2 = 10000, mn3 = 10000;
+    int g1 = -1, g2 = -1;
+    for (int i = 0; i < 10; ++i) {
+        int32_t t = lk[i] + kHetPen[i] * q_r;
+        if (t < mn) {
+            mn3 = mn2;
+            mn2 = mn;
+            mn = t;
+            g2 = g1;
+            g1 = i;
+        } else if (t < mn2) {
+            mn3 = mn2;
+            mn2 = t;
+            g2 = i;
+        } else if (t < mn3) {
+            mn3 = t;
+        }
+    }
+    *b1 = g1 >= 0 ? kGlfBase[g1] : 15;
+    *b2 = g2 >= 0 ? kGlfBase[g2] : 15;
+    *s1 = mn2 < 10000 ? (mn2 - mn < 256 ? mn2 - mn : 255) : 255;
+    *s2 = (mn2 < 10000 && mn3 < 10000)
+              ? (mn3 - mn2 < 256 ? mn3 - mn2 : 255)
+              : 255;
+}
+
+static inline int32_t qadd_t(const int32_t* tab, int32_t x, int32_t y) {
+    // reference somatic_sniper.c:18; index clamp mirrors the JAX op (the
+    // reference reads raw memory out of bounds there — unreachable for
+    // well-formed inputs, see make_qadd in models/consensus.py)
+    int32_t idx = 512 + y - x;
+    if (idx < 0) idx = 0;
+    if (idx > 1023) idx = 1023;
+    return x + tab[idx];
+}
+
+// Per-column compact output rows (COMPACT_FIELDS order, leading column
+// = plan index), emit-gated.  Returns the emitted-row count.
+int64_t exact_pair_rows(
+    const NativePileup* t, const NativePileup* n, const int64_t* ti,
+    const int64_t* ni, int64_t B, const int32_t* rb4v, const double* coef,
+    const double* lhet, const double* fk, int32_t q_r_int,
+    const int32_t* qadd, const int32_t* solo_prior,
+    const int32_t* joint_prior, int32_t use_joint,
+    int32_t min_somatic_qual, int32_t include_loh, int32_t include_gor,
+    int32_t* rows) {
+    GlfTables gt{coef, lhet, fk, q_r_int};
+    std::atomic<int64_t> next(0);
+    // emit decisions + row payloads computed in parallel, then packed
+    // densely in plan order (deterministic output)
+    std::vector<uint8_t> emit_v((size_t)B, 0);
+    std::vector<int32_t> payload((size_t)B * 16);
+    auto work = [&]() {
+        for (;;) {
+            int64_t i = next.fetch_add(64);
+            if (i >= B) break;
+            int64_t hi = i + 64 < B ? i + 64 : B;
+            for (; i < hi; ++i) {
+                const int32_t rb = rb4v[i];
+                int32_t lk_t[10], lk_n[10], keep_t, keep_n;
+                glf_exact_lk(t, ti[i], rb, gt, lk_t, &keep_t);
+                glf_exact_lk(n, ni[i], rb, gt, lk_n, &keep_n);
+                const int32_t n1 =
+                    (int32_t)(t->offsets[ti[i] + 1] - t->offsets[ti[i]]);
+                const int32_t n2 =
+                    (int32_t)(n->offsets[ni[i] + 1] - n->offsets[ni[i]]);
+                int32_t tb1, tb2, ts1, ts2, nb1, nb2, ns1, ns2;
+                glf2cns4(lk_t, n1, q_r_int, &tb1, &tb2, &ts1, &ts2);
+                glf2cns4(lk_n, n2, q_r_int, &nb1, &nb2, &ns1, &ns2);
+                // outer + SNP gate (reference somatic_sniper.c:127,156)
+                if (!(keep_t > 0 && keep_n > 0 && rb != 15 && tb1 != 15 &&
+                      nb1 != 15 && tb1 != nb1))
+                    continue;
+                int32_t tumor_vaq = tb2 == rb ? ts1 : ts1 + ts2;
+                if (tumor_vaq > 255) tumor_vaq = 255;
+                int32_t normal_vaq = 0;
+                if (nb1 != 15 && nb1 != rb) {
+                    normal_vaq = nb2 == rb ? ns1 : ns1 + ns2;
+                    if (normal_vaq > 255) normal_vaq = 255;
+                }
+                int32_t qps = 255;
+                int32_t jt_gt = 0, jn_gt = 0, jcq = 255;
+                if (use_joint) {
+                    const int32_t* jp = joint_prior + (int64_t)rb * 100;
+                    int32_t joint[100];
+                    int32_t marg = 255, best = 1000;
+                    int bi = -1, bj = -1;
+                    for (int a = 0; a < 10; ++a)
+                        for (int b = 0; b < 10; ++b) {
+                            int32_t v =
+                                lk_n[a] + lk_t[b] + jp[a * 10 + b];
+                            if (v > 255) v = 255;
+                            joint[a * 10 + b] = v;
+                            if (v < best) {
+                                best = v;
+                                bi = a;
+                                bj = b;
+                            }
+                            marg = qadd_t(qadd, marg, v);
+                        }
+                    for (int j = 0; j < 10; ++j) {
+                        int32_t lkv = joint[j * 10 + j] - marg;
+                        qps = qadd_t(qadd, qps, lkv);
+                        // stale-i quirk: guard reduces to j != tumor argmin
+                        if (j != bj) jcq = qadd_t(qadd, jcq, lkv);
+                    }
+                    if (jcq > 255) jcq = 255;
+                    jt_gt = kGlfBase[bj];
+                    jn_gt = kGlfBase[bi];
+                } else {
+                    // calculatePosteriors x2 (reference :79-99) + diag sum
+                    const int32_t* pr = solo_prior + (int64_t)rb * 10;
+                    int32_t xt[10], xn[10], qs_t = 255, qs_n = 255;
+                    for (int j = 0; j < 10; ++j) {
+                        xt[j] = lk_t[j] + pr[j];
+                        qs_t = qadd_t(qadd, xt[j], qs_t);
+                        xn[j] = lk_n[j] + pr[j];
+                        qs_n = qadd_t(qadd, xn[j], qs_n);
+                    }
+                    for (int j = 0; j < 10; ++j) {
+                        int32_t pt = xt[j] - qs_t;
+                        if (pt > 255) pt = 255;
+                        int32_t pn = xn[j] - qs_n;
+                        if (pn > 255) pn = 255;
+                        qps = qadd_t(qadd, qps, pt + pn);
+                    }
+                }
+                // joint-aware effective genotypes (reference :216-223)
+                int32_t t_eff = jt_gt ? jt_gt : tb1;
+                int32_t n_eff = jn_gt ? jn_gt : nb1;
+                // emit gate: threshold + LOH/GOR suppression
+                bool loh = (n_eff != t_eff) && ((t_eff & n_eff) == t_eff);
+                bool ref_sub = (n_eff != rb) && ((rb & n_eff) == rb);
+                bool gor = !ref_sub && ((t_eff & ~n_eff) == rb);
+                if (!(min_somatic_qual <= qps && (include_loh || !loh) &&
+                      (include_gor || !gor)))
+                    continue;
+                int32_t t_status;
+                if (t_eff == n_eff)
+                    t_status = 1;  // GERMLINE
+                else if (loh)
+                    t_status = 3;  // LOH
+                else if (qps > 0)
+                    t_status = 2;  // SOMATIC
+                else
+                    t_status = 4;  // UNKNOWN
+                int32_t n_status = nb1 == rb ? 0 : 1;  // WILDTYPE/GERMLINE
+                emit_v[(size_t)i] = 1;
+                int32_t* o = payload.data() + (size_t)i * 16;
+                o[0] = tb1;
+                o[1] = nb1;
+                o[2] = ts1;
+                o[3] = ns1;
+                o[4] = tumor_vaq;
+                o[5] = normal_vaq;
+                o[6] = qps;
+                o[7] = jt_gt;
+                o[8] = jn_gt;
+                o[9] = jcq;
+                o[10] = t_status;
+                o[11] = n_status;
+                o[12] = t_eff;
+                o[13] = n_eff;
+                o[14] = keep_t;
+                o[15] = keep_n;
+            }
+        }
+    };
+    int nt = (int)std::thread::hardware_concurrency();
+    if (nt > 2) nt = 2;
+    if (nt > 1 && B > 512) {
+        std::thread th(work);
+        work();
+        th.join();
+    } else {
+        work();
+    }
+    int64_t count = 0;
+    for (int64_t i = 0; i < B; ++i) {
+        if (!emit_v[(size_t)i]) continue;
+        int32_t* o = rows + count * 17;
+        o[0] = (int32_t)i;
+        memcpy(o + 1, payload.data() + (size_t)i * 16,
+               16 * sizeof(int32_t));
+        ++count;
+    }
+    return count;
 }
 
 // Fused pair planning: one linear merge over the two sorted ukey lists

@@ -320,6 +320,58 @@ def glf_cns_proof(
     return proven, keep
 
 
+def exact_pair_rows(
+    pu_t: ColumnarPileup,
+    pu_n: ColumnarPileup,
+    ti: np.ndarray,
+    ni: np.ndarray,
+    rb4: np.ndarray,
+    tabs,
+    use_joint: bool,
+    min_somatic_qual: int,
+    include_loh: bool,
+    include_gor: bool,
+) -> np.ndarray:
+    """Native full exact-mode scoring for planned column pairs.
+
+    Returns the emitted-rows matrix [count, 1 + len(COMPACT_FIELDS)]
+    (same layout the device compaction produces: leading column is the
+    plan index), computed entirely host-side in the exact f64/integer
+    model — no device round trip.  See sniper_native.cpp
+    exact_pair_rows.
+    """
+    import ctypes as ct
+
+    lib = pu_t.owner._lib
+    ti_c = np.ascontiguousarray(ti, np.int64)
+    ni_c = np.ascontiguousarray(ni, np.int64)
+    rb_c = np.ascontiguousarray(rb4, np.int32)
+    B = len(ti_c)
+    coef_c = np.ascontiguousarray(tabs.coef, np.float64)
+    lhet_c = np.ascontiguousarray(tabs.lhet, np.float64)
+    fk_c = np.ascontiguousarray(tabs.fk, np.float64)
+    qadd_c = np.ascontiguousarray(tabs.qadd, np.int32)
+    solo_c = np.ascontiguousarray(tabs.solo_prior, np.int32)
+    joint_c = np.ascontiguousarray(tabs.joint_prior, np.int32)
+    rows = np.empty((B, 17), np.int32)
+    dp = ct.POINTER(ct.c_double)
+    ip = ct.POINTER(ct.c_int32)
+    count = lib.exact_pair_rows(
+        pu_t.owner._ptr, pu_n.owner._ptr,
+        ti_c.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        ni_c.ctypes.data_as(ct.POINTER(ct.c_int64)), B,
+        rb_c.ctypes.data_as(ip),
+        coef_c.ctypes.data_as(dp), lhet_c.ctypes.data_as(dp),
+        fk_c.ctypes.data_as(dp), int(tabs.q_r_int),
+        qadd_c.ctypes.data_as(ip), solo_c.ctypes.data_as(ip),
+        joint_c.ctypes.data_as(ip),
+        int(use_joint), int(min_somatic_qual), int(include_loh),
+        int(include_gor),
+        rows.ctypes.data_as(ip),
+    )
+    return rows[:count]
+
+
 def paired_plan(
     pu_t: ColumnarPileup,
     pu_n: ColumnarPileup,

@@ -127,7 +127,9 @@ def call_pair_windows(
     """
     from ..runner import (
         RefCache,
+        can_exact_native,
         can_plan,
+        exact_records_native,
         get_device_tables,
         _exact_cpu_ctx,
         _make_ref16_fn,
@@ -203,7 +205,14 @@ def call_pair_windows(
         if i + 1 < len(todo):
             inflight = _submit_load(todo[i + 1][1])
         with _exact_cpu_ctx(precision):
-            if can_plan(pu_t, pu_n, packed16):
+            if precision == "exact" and can_exact_native(pu_t, pu_n,
+                                                         ref_blob):
+                records = exact_records_native(
+                    pu_t, pu_n, tabs, ref_blob, ref_off, refcache,
+                    prefilter,
+                )
+                pending = None
+            elif can_plan(pu_t, pu_n, packed16):
                 pending = submit_batches_planned(
                     pu_t, pu_n, dtabs, max_batch, tabs, ref_blob, ref_off,
                     params.cap_mapq, prefilter,
@@ -218,9 +227,10 @@ def call_pair_windows(
                     pu_t, pu_n, refcache, dtabs, precision, max_batch,
                     drop_t, drop_n, packed16, ref16_fn, params.cap_mapq,
                 )
-            records = collect_pending(
-                pending, pu_t, pu_n, refcache, dtabs, precision
-            )
+            if pending is not None:
+                records = collect_pending(
+                    pending, pu_t, pu_n, refcache, dtabs, precision
+                )
         yield wi, (tid, beg, end), [r for _, r in records]
     ex.shutdown(wait=True)
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 import os
 import sys
 from dataclasses import dataclass
-from typing import Iterator
+from typing import Iterator, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -313,6 +313,14 @@ def call_pair(
         refcache = RefCache(fasta, header_t)
         if ref_blob is None:
             ref_blob, ref_off = _ref_blob(fasta, header_t)
+        # all-host exact path: plan + full scoring in the native layer
+        if precision == "exact" and can_exact_native(pu_t, pu_n, ref_blob):
+            records = exact_records_native(
+                pu_t, pu_n, tabs, ref_blob, ref_off, refcache, prefilter
+            )
+            for _, rec in records:
+                yield rec
+            return
         # fast path ships compact u16 batches (half the accelerator-link
         # bytes); the exact path needs the full u32 slots
         packed16 = precision == "fast" and ref_blob is not None
@@ -374,6 +382,68 @@ def can_plan(pu_t, pu_n, packed16: bool) -> bool:
         and pu_n.owner is not None
         and hasattr(pu_n.owner, "pad16_into")
     )
+
+
+def can_exact_native(pu_t, pu_n, ref_blob) -> bool:
+    """True when the all-host exact scorer applies: native-owned pileups
+    plus an in-memory reference blob."""
+    return (
+        ref_blob is not None
+        and pu_t.owner is not None
+        and getattr(pu_t.owner, "_ptr", None) is not None
+        and pu_n.owner is not None
+        and getattr(pu_n.owner, "_ptr", None) is not None
+    )
+
+
+class _PlanBatch(NamedTuple):
+    """Shim giving the planned column list the tiny batch interface the
+    record builder consumes (batch.keys indexing)."""
+
+    keys: np.ndarray
+
+
+def exact_records_native(
+    pu_t, pu_n, tabs, ref_blob, ref_off, refcache, prefilter: bool
+) -> list[tuple[int, SniperRecord]]:
+    """Exact mode entirely on the native layer: fused plan (intersect +
+    prefilter + exact dual-consensus gate) then full per-column scoring
+    (glfgen f64 + integer phred pipeline) in C — bit-identical to the
+    JAX exact path (tested), with no device round trip.  The depth
+    bucketing the plan produces is irrelevant here; records are sorted
+    by coordinate at the end like collect_pending."""
+    from .io.native_api import exact_pair_rows, paired_plan
+    from .pileup.columnize import DEPTH_BUCKETS
+    from .pileup.prefilter import prefilter_tables
+
+    gmin = None
+    margin = 0.0
+    coef = lhet = None
+    if prefilter:
+        pt = prefilter_tables(tabs)
+        if pt is not None:
+            gmin, margin = pt
+        coef, lhet = tabs.coef, tabs.lhet
+    with STATS.timer("plan"):
+        plan = paired_plan(pu_t, pu_n, ref_blob, ref_off, DEPTH_BUCKETS,
+                           fk=tabs.fk, gmin=gmin, margin=margin,
+                           coef=coef, lhet=lhet, q_r_int=tabs.q_r_int)
+    STATS.add("columns_scored", len(plan.keys))
+    p = tabs.params
+    with STATS.timer("score"):
+        rows = exact_pair_rows(
+            pu_t, pu_n, plan.ti, plan.ni, plan.ref16, tabs,
+            p.use_joint_priors, p.min_somatic_qual, p.include_loh,
+            p.include_gor,
+        )
+    with STATS.timer("emit"):
+        records = emit_records_compact(
+            _PlanBatch(keys=np.asarray(plan.keys, np.int64)), rows, None,
+            np.asarray(plan.ref16, np.int64), pu_t, pu_n, refcache,
+        )
+    records.sort(key=lambda kv: kv[0])
+    STATS.add("records_emitted", len(records))
+    return records
 
 
 def submit_batches_planned(
