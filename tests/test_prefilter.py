@@ -201,3 +201,29 @@ def test_homref_proof_sound(data_dir, tabs):
         np.testing.assert_array_equal(keep_p[pm], keep_e[pm])
         # proof must never fire on an ambiguous reference code
         assert not pm[~np.isin(rb4, (1, 2, 4, 8))].any()
+
+
+def test_fused_flags_match_standalone(data_dir, tabs):
+    """Flags computed inside the fused load's scatter pass must equal
+    the standalone pileup_flags pass (same margin-bound semantics, same
+    accumulation order)."""
+    d = _sim_dir(data_dir)
+    header, pu_plain = native_api.load_and_columnize(
+        str(d / "tumor.bam")
+    )
+    ref16, ref_off = _refblob(data_dir, header)
+    pt = prefilter_tables(tabs)
+    assert pt is not None
+    gmin, margin = pt
+    standalone = pure_flags(pu_plain, ref16, ref_off, tabs.fk, gmin,
+                            margin)
+    _, pu_flagged = native_api.load_and_columnize(
+        str(d / "tumor.bam"),
+        flag_args=(ref16, ref_off, tabs.fk, gmin, margin),
+    )
+    fused = np.ctypeslib.as_array(
+        pu_flagged.owner._ptr.contents.pure,
+        shape=(len(pu_flagged.ukeys),),
+    )
+    np.testing.assert_array_equal(np.asarray(fused, np.uint8),
+                                  np.asarray(standalone, np.uint8))
