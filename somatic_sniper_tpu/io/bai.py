@@ -165,46 +165,119 @@ def _record_table(raw: bytes):
             np.asarray(ends, np.int64), n_ref, end_voff)
 
 
+def _native_record_table(bam_path):
+    """(voff, tid, pos, end, n_ref, end_voff) via the C layer, or None."""
+    from . import native
+    from .bam import read_bam_header
+
+    lib = native.get_lib()
+    if lib is None:
+        return None
+    rt = lib.bam_record_table(str(bam_path).encode(), 2)
+    if not rt:
+        raise IOError(
+            f"{bam_path}: {lib.sniper_last_error().decode()}"
+        )
+    try:
+        c = rt.contents
+        n = int(c.n)
+        if n:
+            voff = np.ctypeslib.as_array(c.voff, shape=(n,)).copy()
+            tid = np.ctypeslib.as_array(c.tid, shape=(n,)).copy()
+            pos = np.ctypeslib.as_array(c.pos, shape=(n,)).copy()
+            end = np.ctypeslib.as_array(c.end, shape=(n,)).copy()
+        else:
+            voff = np.zeros(0, np.int64)
+            tid = np.zeros(0, np.int32)
+            pos = np.zeros(0, np.int64)
+            end = np.zeros(0, np.int64)
+        end_voff = int(c.end_voff)
+    finally:
+        lib.rec_table_destroy(rt)
+    n_ref = len(read_bam_header(str(bam_path)).ref_names)
+    return voff, tid, pos, end, n_ref, end_voff
+
+
+def _reg2bin_vec(beg: np.ndarray, end: np.ndarray) -> np.ndarray:
+    """Vectorized reg2bin (first matching level wins, like the scalar)."""
+    e = end - 1
+    out = np.full(len(beg), -1, np.int64)
+    for off, shift in ((4681, 14), (585, 17), (73, 20), (9, 23), (1, 26)):
+        m = (out < 0) & ((beg >> shift) == (e >> shift))
+        out[m] = off + (beg[m] >> shift)
+    out[out < 0] = 0
+    return out
+
+
 def build_index(bam_path: str | Path) -> BaiIndex:
-    """Index a coordinate-sorted BAM (equivalent to `samtools index`)."""
-    raw = Path(bam_path).read_bytes()
-    voff, tid, pos, end, n_ref, end_voff = _record_table(raw)
+    """Index a coordinate-sorted BAM (equivalent to `samtools index`).
+
+    The record table comes from the native layer when available (a
+    per-record Python decode dominated index builds at scale); binning,
+    chunk coalescing, and the linear index are vectorized numpy.  The
+    result is structurally identical to the original per-record builder
+    (tested)."""
+    t = _native_record_table(bam_path)
+    if t is None:
+        t = _record_table(Path(bam_path).read_bytes())
+    voff, tid, pos, end, n_ref, end_voff = t
+    voff = np.asarray(voff, np.int64)
+    vend_all = np.concatenate([voff[1:], [end_voff]]) if len(voff) else voff
     refs = [RefIndex() for _ in range(n_ref)]
-    order = np.arange(len(voff))
     for r in range(n_ref):
-        sel = order[tid == r]
+        sel = np.flatnonzero(tid == r)
         if len(sel) == 0:
             continue
         ri = refs[r]
-        max_end = int(end[sel].max())
-        n_intv = (max_end >> LINEAR_SHIFT) + 1
-        linear = np.zeros(n_intv, np.uint64)
-        covered = np.zeros(n_intv, bool)
+        p_r = np.asarray(pos)[sel]
+        e_r = np.asarray(end)[sel]
+        vo = voff[sel]
+        vend = vend_all[sel]
+        b = _reg2bin_vec(p_r, e_r)
+        # chunk coalescing: the original merges a record into the bin's
+        # open chunk iff the previous record in that bin ended exactly
+        # where this one starts — with strictly increasing voffsets that
+        # is "globally consecutive record index"
+        order = np.argsort(b, kind="stable")
+        bs = b[order]
+        gi = sel[order]
+        new = np.empty(len(order), bool)
+        new[0] = True
+        new[1:] = (bs[1:] != bs[:-1]) | (gi[1:] != gi[:-1] + 1)
+        starts = np.flatnonzero(new)
+        stops = np.append(starts[1:], len(order))
+        cbeg = vo[order][starts]
+        cend = vend[order][stops - 1]
+        cbins = bs[starts]
         bins: dict[int, list] = {}
-        for i in sel:
-            b = reg2bin(int(pos[i]), int(end[i]))
-            vo = int(voff[i])
-            vend = int(voff[i + 1]) if i + 1 < len(voff) else end_voff
-            ch = bins.setdefault(b, [])
-            if ch and ch[-1][1] == vo:
-                ch[-1][1] = vend  # coalesce adjacent records
-            else:
-                ch.append([vo, vend])
-            w0 = int(pos[i]) >> LINEAR_SHIFT
-            w1 = (int(end[i]) - 1) >> LINEAR_SHIFT
-            for w in range(w0, w1 + 1):
-                if not covered[w] or linear[w] > vo:
-                    linear[w] = vo
-                    covered[w] = True
-        # fill gaps like samtools: empty windows inherit the previous value
+        for k in range(len(starts)):
+            bins.setdefault(int(cbins[k]), []).append(
+                [int(cbeg[k]), int(cend[k])]
+            )
+        # linear index: min voffset per 16 kb window over covering reads
+        max_end = int(e_r.max())
+        n_intv = (max_end >> LINEAR_SHIFT) + 1
+        linear = np.full(n_intv, -1, np.int64)
+        w0 = p_r >> LINEAR_SHIFT
+        w1 = (e_r - 1) >> LINEAR_SHIFT
+        # voffsets increase with record order, so the first record
+        # starting in a window holds its minimum
+        uw, first = np.unique(w0, return_index=True)
+        linear[uw] = vo[first]
+        for i in np.flatnonzero(w1 > w0):  # rare: reads spanning windows
+            for w in range(int(w0[i]) + 1, int(w1[i]) + 1):
+                if linear[w] < 0 or vo[i] < linear[w]:
+                    linear[w] = vo[i]
+        covered = linear >= 0
+        # fill gaps like samtools: empty windows inherit the previous one
         last = 0
+        out_lin = np.zeros(n_intv, np.uint64)
         for w in range(n_intv):
-            if not covered[w]:
-                linear[w] = last
-            else:
+            if covered[w]:
                 last = int(linear[w])
-        ri.bins = {b: np.asarray(c, np.int64) for b, c in bins.items()}
-        ri.linear = linear
+            out_lin[w] = last
+        ri.bins = {bk: np.asarray(c, np.int64) for bk, c in bins.items()}
+        ri.linear = out_lin
     return BaiIndex(refs=refs)
 
 

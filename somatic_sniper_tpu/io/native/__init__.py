@@ -59,6 +59,18 @@ class NativeBamHeaderStruct(ctypes.Structure):
     ]
 
 
+class NativeRecTableStruct(ctypes.Structure):
+    _fields_ = [
+        ("n", ctypes.c_int64),
+        ("end_voff", ctypes.c_int64),
+        ("voff", ctypes.POINTER(ctypes.c_int64)),
+        ("tid", ctypes.POINTER(ctypes.c_int32)),
+        ("pos", ctypes.POINTER(ctypes.c_int64)),
+        ("end", ctypes.POINTER(ctypes.c_int64)),
+        ("_storage", ctypes.c_void_p),
+    ]
+
+
 class NativePileupStruct(ctypes.Structure):
     _fields_ = [
         ("n_entries", ctypes.c_int64),
@@ -252,6 +264,11 @@ def get_lib():
             ctypes.c_int64, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
         ] + _flag_tail
+        lib.bam_record_table.restype = ctypes.POINTER(NativeRecTableStruct)
+        lib.bam_record_table.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.rec_table_destroy.argtypes = [
+            ctypes.POINTER(NativeRecTableStruct)
+        ]
         lib.sniper_last_error.restype = ctypes.c_char_p
         _lib = lib
         return _lib

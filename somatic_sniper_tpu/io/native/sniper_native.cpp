@@ -65,6 +65,7 @@ struct BgzfBlock {
     int32_t in_size;   // compressed payload size (deflate stream)
     int64_t out_off;   // output offset
     int32_t out_size;  // ISIZE
+    int64_t file_off;  // block start offset in the file (BAI voffsets)
 };
 
 static bool scan_bgzf(const std::vector<uint8_t>& raw,
@@ -101,7 +102,7 @@ static bool scan_bgzf(const std::vector<uint8_t>& raw,
             return false;
         }
         int32_t isize = (int32_t)rd_u32(&raw[pos + bsize - 4]);
-        blocks.push_back({payload, comp_size, total_out, isize});
+        blocks.push_back({payload, comp_size, total_out, isize, pos});
         total_out += isize;
         pos += bsize;
     }
@@ -280,6 +281,11 @@ struct HeaderStorage {
     std::vector<int32_t> ref_len;
     std::string ref_names;  // concatenated, NUL-separated
     int32_t n_ref = 0;
+};
+
+struct RecTableStorage {
+    std::vector<int64_t> voff, pos, end;
+    std::vector<int32_t> tid;
 };
 
 // Parse the BAM header section of an inflated stream (magic, SAM text,
@@ -536,7 +542,8 @@ static bool region_scan(const char* path, const int64_t* chunks,
                     break;
                 int32_t isize =
                     (int32_t)rd_u32(comp.data() + base + comp_size + 4);
-                blocks.push_back({(int64_t)base, comp_size, total, isize});
+                blocks.push_back(
+                    {(int64_t)base, comp_size, total, isize, off});
                 total += isize;
                 if (off == c_end) last_block_usize = isize;
                 off += bsize;
@@ -704,6 +711,119 @@ void bam_header_destroy(NativeBamHeader* h) {
     if (!h) return;
     delete (HeaderStorage*)h->_storage;
     delete h;
+}
+
+// Per-record index table for BAI construction (equivalent data to one
+// pass of `samtools index`): virtual offset, tid, pos, reference end
+// per alignment record.  The Python layer vectorizes the binning; this
+// replaces a per-record Python decode that dominated index builds at
+// scale.  Returns the record count (-1 on error); arrays are
+// caller-allocated with capacity `cap` (pass cap == 0 with n_out to
+// query the count first... simpler: caller sizes by file heuristic and
+// retries; in practice we return an exact count via a first cheap scan).
+struct NativeRecTable {
+    int64_t n;
+    int64_t end_voff;   // virtual offset just past the last record
+    int64_t* voff;
+    int32_t* tid;
+    int64_t* pos;
+    int64_t* end;
+    void* _storage;
+};
+
+NativeRecTable* bam_record_table(const char* path, int n_threads) {
+    std::vector<uint8_t> raw;
+    if (!read_file(path, raw)) {
+        g_err = std::string("cannot read ") + path;
+        return nullptr;
+    }
+    std::vector<BgzfBlock> blocks;
+    int64_t total = 0;
+    if (!scan_bgzf(raw, blocks, total, g_err)) return nullptr;
+    std::vector<uint8_t> buf((size_t)total);
+    if (n_threads < 1) n_threads = 1;
+    libdeflate_probe();
+    {
+        std::atomic<size_t> next(0);
+        std::atomic<bool> ok(true);
+        auto worker = [&]() {
+            for (;;) {
+                size_t i = next.fetch_add(1);
+                if (i >= blocks.size()) break;
+                const BgzfBlock& b = blocks[i];
+                if (b.out_size == 0) continue;
+                if (!inflate_block(&raw[b.in_off], b.in_size,
+                                   &buf[b.out_off], b.out_size))
+                    ok.store(false);
+            }
+        };
+        std::vector<std::thread> ts;
+        for (int t = 1; t < n_threads; ++t) ts.emplace_back(worker);
+        worker();
+        for (auto& t : ts) t.join();
+        if (!ok.load()) {
+            g_err = "BGZF inflate failure";
+            return nullptr;
+        }
+    }
+    raw.clear();
+    raw.shrink_to_fit();
+    int64_t p = parse_bam_header(buf.data(), (int64_t)buf.size(), nullptr);
+    if (p < 0) {
+        g_err = p == -1 ? "truncated BAM header"
+                        : "not a BAM file (bad magic)";
+        return nullptr;
+    }
+    auto* st = new RecTableStorage();
+    const int64_t n = (int64_t)buf.size();
+    const size_t est = (size_t)((n - p) / 100) + 16;
+    st->voff.reserve(est);
+    st->tid.reserve(est);
+    st->pos.reserve(est);
+    st->end.reserve(est);
+    // map uncompressed offset -> virtual offset via the block table
+    size_t bi = 0;
+    auto voff_of = [&](int64_t up) {
+        while (bi + 1 < blocks.size() &&
+               blocks[bi + 1].out_off <= up)
+            ++bi;
+        return (blocks[bi].file_off << 16) | (up - blocks[bi].out_off);
+    };
+    while (p + 4 <= n) {
+        int32_t bs = rd_i32(&buf[p]);
+        if (bs < 32 || p + 4 + bs > n) {
+            g_err = "truncated BAM record";
+            delete st;
+            return nullptr;
+        }
+        const uint8_t* r = &buf[p + 4];
+        st->voff.push_back(voff_of(p));
+        st->tid.push_back(rd_i32(r));
+        int64_t pos = rd_i32(r + 4);
+        st->pos.push_back(pos);
+        st->end.push_back(pos + rec_ref_span(r));
+        p += 4 + bs;
+    }
+    auto* rt = new NativeRecTable();
+    rt->n = (int64_t)st->voff.size();
+    // just past the last block's compressed end (matches the Python
+    // builder's end-of-file virtual offset)
+    rt->end_voff = blocks.empty()
+                       ? 0
+                       : ((blocks.back().in_off + blocks.back().in_size +
+                           8) << 16);
+    rt->voff = st->voff.data();
+    rt->tid = st->tid.data();
+    rt->pos = st->pos.data();
+    rt->end = st->end.data();
+    rt->_storage = st;
+    return rt;
+}
+
+void rec_table_destroy(NativeRecTable* rt) {
+    if (!rt) return;
+    delete (RecTableStorage*)rt->_storage;
+    delete rt;
 }
 
 // CIGAR ops (vendor bam.h:128-148); samtools-0.1.6 ignores '='/'X'.
