@@ -79,7 +79,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shard-index", type=int, default=None,
                    help="process only this shard (deterministic interval "
                         "partition); omit to process all shards locally")
-    p.add_argument("--window-size", type=int, default=2_000_000,
+    p.add_argument("--window-size", type=int, default=1_000_000,
                    help="genome window length for the region-sharded "
                         "streaming driver [2000000]")
     p.add_argument("--stats", action="store_true",

@@ -15,8 +15,11 @@ window at a contig start cannot see locally — so the driver carries that
 value in via ``region_last_kept_start``.
 
 Windows must be longer than the longest read (columns of a quirk-dropped
-read must all fall in the contig's first window); the default 2 Mb is
-4 orders of magnitude above short-read lengths.
+read must all fall in the contig's first window); the default 1 Mb is
+~4 orders of magnitude above short-read lengths (measured fastest for
+both precision modes on the dev host: finer windows overlap the
+prefetch loads with compute more smoothly, and the per-window plan/
+dispatch overhead only bites below ~0.5 Mb).
 """
 
 from __future__ import annotations
@@ -33,7 +36,7 @@ from ..io.fasta import FastaFile
 from ..models.tables import ModelParams, build_tables
 from ..output.records import SniperRecord
 
-DEFAULT_WINDOW = 2_000_000
+DEFAULT_WINDOW = 1_000_000
 
 
 def genome_windows(
