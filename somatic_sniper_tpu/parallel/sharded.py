@@ -201,12 +201,19 @@ def call_pair_windows(
             ex.submit(_load_one, normal_bam, idx_n, carry_n, tid, beg, end),
         )
 
-    inflight = _submit_load(todo[0][1]) if todo else None
+    # two-window lookahead keeps the load pool fed while the current
+    # window computes (one-deep starves when compute is faster than the
+    # pair of loads; the pool still bounds concurrency at 2 threads)
+    LOOKAHEAD = 2
+    inflight: list = [
+        _submit_load(w) for _, w in todo[:LOOKAHEAD]
+    ]
     for i, (wi, (tid, beg, end)) in enumerate(todo):
-        f_t, f_n = inflight
+        f_t, f_n = inflight.pop(0)
         pu_t, pu_n = f_t.result(), f_n.result()
-        if i + 1 < len(todo):
-            inflight = _submit_load(todo[i + 1][1])
+        j = i + LOOKAHEAD
+        if j < len(todo):
+            inflight.append(_submit_load(todo[j][1]))
         with _exact_cpu_ctx(precision):
             if precision == "exact" and can_exact_native(pu_t, pu_n,
                                                          ref_blob):
