@@ -113,9 +113,11 @@ static bool scan_bgzf(const std::vector<uint8_t>& raw,
 // than zlib; resolved at runtime via dlopen so the build needs no new
 // link dependency and machines without it fall back to zlib.
 typedef void* (*ld_alloc_fn)();
+typedef void (*ld_free_fn)(void*);
 typedef int (*ld_decomp_fn)(void*, const void*, size_t, void*, size_t,
                             size_t*);
 static ld_alloc_fn g_ld_alloc = nullptr;
+static ld_free_fn g_ld_free = nullptr;
 static ld_decomp_fn g_ld_decomp = nullptr;
 
 static void libdeflate_probe() {
@@ -125,23 +127,45 @@ static void libdeflate_probe() {
         if (!h) h = dlopen("libdeflate.so", RTLD_NOW);
         if (!h) return;
         auto a = (ld_alloc_fn)dlsym(h, "libdeflate_alloc_decompressor");
+        auto f = (ld_free_fn)dlsym(h, "libdeflate_free_decompressor");
         auto d = (ld_decomp_fn)dlsym(h, "libdeflate_deflate_decompress");
         if (a && d) {
             g_ld_alloc = a;
+            g_ld_free = f;
             g_ld_decomp = d;
         }
     });
 }
 
+// thread-local decompressor caches, freed at thread exit (worker
+// threads come and go per load; without the destructors every exited
+// thread leaked its decompressor state)
+struct LdDecHolder {
+    void* p = nullptr;
+    ~LdDecHolder() {
+        if (p && g_ld_free) g_ld_free(p);
+    }
+};
+
+struct ZStreamHolder {
+    z_stream* z = nullptr;
+    ~ZStreamHolder() {
+        if (z) {
+            inflateEnd(z);
+            delete z;
+        }
+    }
+};
+
 static bool inflate_block(const uint8_t* src, int32_t src_len, uint8_t* dst,
                           int32_t dst_len) {
     if (g_ld_decomp) {
         // one decompressor per worker thread, reused across blocks
-        static thread_local void* dec = nullptr;
-        if (!dec) dec = g_ld_alloc();
-        if (dec) {
+        static thread_local LdDecHolder dec;
+        if (!dec.p) dec.p = g_ld_alloc();
+        if (dec.p) {
             size_t actual = 0;
-            int r = g_ld_decomp(dec, src, (size_t)src_len, dst,
+            int r = g_ld_decomp(dec.p, src, (size_t)src_len, dst,
                                 (size_t)dst_len, &actual);
             return r == 0 /* LIBDEFLATE_SUCCESS */ &&
                    actual == (size_t)dst_len;
@@ -149,7 +173,8 @@ static bool inflate_block(const uint8_t* src, int32_t src_len, uint8_t* dst,
     }
     // zlib fallback: thread-local stream reused via inflateReset2 (a
     // fresh inflateInit2/inflateEnd per 64 KB block costs real time)
-    static thread_local z_stream* zsp = nullptr;
+    static thread_local ZStreamHolder zh;
+    z_stream*& zsp = zh.z;
     if (!zsp) {
         zsp = new z_stream();
         memset(zsp, 0, sizeof(*zsp));

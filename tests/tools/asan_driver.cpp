@@ -107,6 +107,33 @@ int main(int argc, char** argv) {
     pileup_destroy(pf);
     bam_header_destroy(hd);
 
+    // full native exact scorer + near-pure proof over the paired plan
+    if (total > 0) {
+        std::vector<int32_t> qadd(1024, -1);
+        std::vector<int32_t> solo(16 * 10, 1), joint(16 * 100, 2);
+        std::vector<int32_t> rows((size_t)total * 17);
+        int64_t nr = exact_pair_rows(
+            pt, pn, ti.data(), ni.data(), total, rr.data(), coef.data(),
+            lhet.data(), fk.data(), 30, qadd.data(), solo.data(),
+            joint.data(), 1, 0, 1, 1, rows.data());
+        std::vector<int32_t> proven(total), keepp(total);
+        glf_cns_proof_batch(pt, ti.data(), total, rr.data(), coef.data(),
+                            lhet.data(), fk.data(), 30, proven.data(),
+                            keepp.data());
+        if (nr < 0 || nr > total) {
+            std::fprintf(stderr, "exact_pair_rows bad count\n");
+            return 1;
+        }
+    }
+
+    // per-record BAI table
+    NativeRecTable* rt = bam_record_table(argv[1], 2);
+    if (!rt || rt->n != bt->n_reads) {
+        std::fprintf(stderr, "bam_record_table mismatch\n");
+        return 1;
+    }
+    rec_table_destroy(rt);
+
     std::printf("ok n_reads=%lld/%lld cols=%lld/%lld plan=%lld\n",
                 (long long)bt->n_reads, (long long)bn->n_reads,
                 (long long)pt->n_cols, (long long)pn->n_cols,

@@ -1,7 +1,8 @@
 """Differential fuzz harness: random BAM pairs x flag combos, byte-diff
 our CLI (exact precision) against the reference oracle binary.
 
-Usage: python tests/tools/fuzz_diff.py /tmp/ref/bam-somaticsniper [n_seeds]
+Usage: python tests/tools/fuzz_diff.py /tmp/ref/bam-somaticsniper \
+           [n_seeds] [base_seed]
 
 Builds on the same synthetic generator as the committed e2e fixtures
 (utils/simulate), sweeping depth / read length / contig count / error
@@ -65,12 +66,13 @@ def config_for(seed: int) -> SimConfig:
 def main() -> int:
     oracle = sys.argv[1]
     n_seeds = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    base_seed = int(sys.argv[3]) if len(sys.argv) > 3 else 1000
     base = Path("/tmp/sniper_fuzz")
     from somatic_sniper_tpu.cli.main import main as our_main
 
     failures = 0
     for i in range(n_seeds):
-        seed = 1000 + i
+        seed = base_seed + i
         d = base / f"s{seed}"
         simulate_pair(d, config_for(seed))
         _write_fai(d / "ref.fa")
