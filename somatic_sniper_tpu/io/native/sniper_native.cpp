@@ -2241,6 +2241,11 @@ int64_t paired_plan(const NativePileup* t, const NativePileup* n,
     std::vector<Cand> cands;
     int64_t cap = t->n_cols < n->n_cols ? t->n_cols : n->n_cols;
     cands.reserve((size_t)cap);
+    // when both samples carry fused pure-reference flags, the tier-1
+    // drop happens inline here: ~80-90% of shared columns never become
+    // candidates, so phases 2 and 3 iterate (and write) 5-10x less
+    const bool inline_pure =
+        use_prefilter && t->pure != nullptr && n->pure != nullptr;
     int64_t it = 0, in = 0;
     while (it < t->n_cols && in < n->n_cols) {
         int64_t kt = t->ukeys[it], kn = n->ukeys[in];
@@ -2252,13 +2257,23 @@ int64_t paired_plan(const NativePileup* t, const NativePileup* n,
             ++in;
             continue;
         }
+        uint8_t pt_ = 0, pn_ = 0;
+        if (inline_pure) {
+            pt_ = t->pure[it];
+            pn_ = n->pure[in];
+            if (pt_ && pn_) {
+                ++it;
+                ++in;
+                continue;
+            }
+        }
         int32_t tid = (int32_t)(kt >> 40);
         int64_t pos = kt & POS_MASK;
         int32_t rc = 15;
         if (tid >= 0 && tid < n_ref &&
             pos < ref_off[tid + 1] - ref_off[tid])
             rc = (int32_t)ref16[ref_off[tid] + pos];
-        cands.push_back({kt, it, in, rc, 0, 0});
+        cands.push_back({kt, it, in, rc, pt_, pn_});
         ++it;
         ++in;
     }
@@ -2275,7 +2290,7 @@ int64_t paired_plan(const NativePileup* t, const NativePileup* n,
         auto work = [&](int64_t lo, int64_t hi) {
             for (int64_t i = lo; i < hi; ++i) {
                 Cand& cd = cands[(size_t)i];
-                if (use_prefilter) {
+                if (use_prefilter && !inline_pure) {
                     cd.pure_t =
                         t->pure ? t->pure[cd.ti]
                                 : column_pure_ref(t, cd.ti,
