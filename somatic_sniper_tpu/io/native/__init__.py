@@ -23,31 +23,6 @@ _lib = None
 _tried = False
 
 
-class NativeBamStruct(ctypes.Structure):
-    _fields_ = [
-        ("n_reads", ctypes.c_int64),
-        ("n_cigar_total", ctypes.c_int64),
-        ("n_seq_total", ctypes.c_int64),
-        ("tid", ctypes.POINTER(ctypes.c_int32)),
-        ("pos", ctypes.POINTER(ctypes.c_int32)),
-        ("flag", ctypes.POINTER(ctypes.c_uint16)),
-        ("mapq", ctypes.POINTER(ctypes.c_uint8)),
-        ("n_cigar", ctypes.POINTER(ctypes.c_uint16)),
-        ("l_qseq", ctypes.POINTER(ctypes.c_int32)),
-        ("cigar", ctypes.POINTER(ctypes.c_uint32)),
-        ("cigar_off", ctypes.POINTER(ctypes.c_int64)),
-        ("seq", ctypes.POINTER(ctypes.c_uint8)),
-        ("qual", ctypes.POINTER(ctypes.c_uint8)),
-        ("seq_off", ctypes.POINTER(ctypes.c_int64)),
-        ("text", ctypes.c_char_p),
-        ("n_ref", ctypes.c_int32),
-        ("ref_len", ctypes.POINTER(ctypes.c_int32)),
-        ("ref_names", ctypes.POINTER(ctypes.c_char)),
-        ("ref_names_len", ctypes.c_int64),
-        ("_storage", ctypes.c_void_p),
-    ]
-
-
 class NativeBamHeaderStruct(ctypes.Structure):
     _fields_ = [
         ("text", ctypes.c_char_p),
@@ -111,44 +86,16 @@ def get_lib():
             lib = ctypes.CDLL(str(_LIB))
         except OSError:
             return None
-        lib.bam_load.restype = ctypes.POINTER(NativeBamStruct)
-        lib.bam_load.argtypes = [ctypes.c_char_p, ctypes.c_int]
-        lib.bam_destroy.argtypes = [ctypes.POINTER(NativeBamStruct)]
-        lib.pileup_build.restype = ctypes.POINTER(NativePileupStruct)
-        lib.pileup_build.argtypes = [
-            ctypes.POINTER(NativeBamStruct), ctypes.c_int, ctypes.c_int,
-        ]
+        # (the two-phase bam_load/pileup_build C entries still exist for
+        # the ASAN driver and as parity oracles, but the Python layer
+        # only uses the fused loads below)
         lib.pileup_destroy.argtypes = [ctypes.POINTER(NativePileupStruct)]
-        lib.bam_load_region.restype = ctypes.POINTER(NativeBamStruct)
-        lib.bam_load_region.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int64, ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int,
-        ]
-        lib.pileup_build_window.restype = ctypes.POINTER(NativePileupStruct)
-        lib.pileup_build_window.argtypes = [
-            ctypes.POINTER(NativeBamStruct), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        ]
         _flag_tail = [
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
             ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double), ctypes.c_double,
         ]
-        lib.pileup_build_flagged.restype = ctypes.POINTER(
-            NativePileupStruct
-        )
-        lib.pileup_build_flagged.argtypes = [
-            ctypes.POINTER(NativeBamStruct), ctypes.c_int, ctypes.c_int,
-        ] + _flag_tail
-        lib.pileup_build_window_flagged.restype = ctypes.POINTER(
-            NativePileupStruct
-        )
-        lib.pileup_build_window_flagged.argtypes = [
-            ctypes.POINTER(NativeBamStruct), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        ] + _flag_tail
         lib.region_last_kept_start.restype = ctypes.c_int64
         lib.region_last_kept_start.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
