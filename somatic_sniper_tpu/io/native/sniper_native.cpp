@@ -525,50 +525,61 @@ static bool region_scan(const char* path, const int64_t* chunks,
         err = std::string("cannot read ") + path;
         return false;
     }
+    fseek(f, 0, SEEK_END);
+    const int64_t fsize = ftell(f);
     if (n_threads < 1) n_threads = 1;
     libdeflate_probe();
+    std::vector<uint8_t> comp;  // reused per chunk
     for (int64_t ci = 0; ci < n_chunks; ++ci) {
         int64_t vbeg = chunks[2 * ci], vend = chunks[2 * ci + 1];
         int64_t c_beg = vbeg >> 16, c_end = vend >> 16;
         int32_t u_beg = (int32_t)(vbeg & 0xFFFF);
         int32_t u_end = (int32_t)(vend & 0xFFFF);
-        // read the compressed span [c_beg, c_end (+ last block)]
+        // one read of the whole compressed span (the last needed
+        // block's size is unknown until its header is parsed, so read
+        // up to the 64 KB BGZF ceiling past c_end), then scan block
+        // headers in memory — thousands of tiny freads per window cost
+        // real syscall time
+        int64_t last_needed = u_end > 0 ? c_end : c_end - 1;
+        int64_t span_end = last_needed + 0x10000 + 28;
+        if (span_end > fsize) span_end = fsize;
+        if (span_end <= c_beg) continue;
+        comp.resize((size_t)(span_end - c_beg));
         fseek(f, c_beg, SEEK_SET);
-        std::vector<uint8_t> comp;
+        if (fread(comp.data(), 1, comp.size(), f) != comp.size()) {
+            err = "short read (region span)";
+            fclose(f);
+            return false;
+        }
         int64_t last_block_usize = 0;
         std::vector<BgzfBlock> blocks;
         int64_t total = 0;
         {
-            // scan block headers forward from c_beg; a vend with
-            // u_end == 0 ends at the *start* of block c_end, which is
-            // then not needed at all
             int64_t off = c_beg;
-            int64_t last_needed = u_end > 0 ? c_end : c_end - 1;
+            const int64_t n_comp = (int64_t)comp.size();
             while (off <= last_needed) {
-                uint8_t hdr[12];  // gzip fixed header incl. XLEN
-                if (fread(hdr, 1, 12, f) != 12) break;
-                uint16_t xlen = rd_u16(hdr + 10);
-                std::vector<uint8_t> extra(xlen);
-                if (fread(extra.data(), 1, xlen, f) != xlen) break;
+                const int64_t rel = off - c_beg;
+                if (rel + 18 > n_comp || comp[rel] != 0x1f ||
+                    comp[rel + 1] != 0x8b)
+                    break;
+                uint16_t xlen = rd_u16(&comp[rel + 10]);
                 int bsize = -1;
-                int64_t ep = 0;
-                while (ep + 4 <= (int64_t)xlen) {
-                    if (extra[ep] == 'B' && extra[ep + 1] == 'C' &&
-                        rd_u16(&extra[ep + 2]) == 2)
-                        bsize = rd_u16(&extra[ep + 4]) + 1;
-                    ep += 4 + rd_u16(&extra[ep + 2]);
+                int64_t ep = rel + 12;
+                const int64_t ep_end = ep + xlen;
+                if (ep_end > n_comp) break;
+                while (ep + 4 <= ep_end) {
+                    if (comp[ep] == 'B' && comp[ep + 1] == 'C' &&
+                        rd_u16(&comp[ep + 2]) == 2)
+                        bsize = rd_u16(&comp[ep + 4]) + 1;
+                    ep += 4 + rd_u16(&comp[ep + 2]);
                 }
                 if (bsize < 0) break;
                 int32_t comp_size = bsize - (int32_t)(12 + xlen) - 8;
-                size_t base = comp.size();
-                comp.resize(base + comp_size + 8);
-                if (fread(comp.data() + base, 1, comp_size + 8, f) !=
-                    (size_t)(comp_size + 8))
-                    break;
+                if (rel + bsize > n_comp || comp_size < 0) break;
                 int32_t isize =
-                    (int32_t)rd_u32(comp.data() + base + comp_size + 4);
+                    (int32_t)rd_u32(&comp[rel + bsize - 4]);
                 blocks.push_back(
-                    {(int64_t)base, comp_size, total, isize, off});
+                    {rel + 12 + xlen, comp_size, total, isize, off});
                 total += isize;
                 if (off == c_end) last_block_usize = isize;
                 off += bsize;
