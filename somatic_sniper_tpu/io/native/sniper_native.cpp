@@ -625,7 +625,10 @@ static bool region_scan(const char* path, const int64_t* chunks,
             const uint8_t* r = &all[p + 4];
             int32_t rtid = rd_i32(r + 0);
             int64_t rpos = rd_i32(r + 4);
-            if (rtid == tid && rpos < end && rpos + rec_ref_span(r) > beg)
+            // records starting inside the region always overlap; the
+            // CIGAR span walk is only needed for boundary straddlers
+            if (rtid == tid && rpos < end &&
+                (rpos >= beg || rpos + rec_ref_span(r) > beg))
                 kept.push_back(p + 4);
             if (rtid > tid || (rtid == tid && rpos >= end)) break;
             p += 4 + bs;
