@@ -20,6 +20,7 @@ import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))  # repo root
 from gen_bam_fixtures import _write_fai  # noqa: E402
 
 from somatic_sniper_tpu.utils.simulate import SimConfig, simulate_pair  # noqa: E402
