@@ -2252,44 +2252,66 @@ int64_t paired_plan(const NativePileup* t, const NativePileup* n,
         int32_t r16;
         uint8_t pure_t, pure_n;
     };
-    std::vector<Cand> cands;
-    int64_t cap = t->n_cols < n->n_cols ? t->n_cols : n->n_cols;
-    cands.reserve((size_t)cap);
     // when both samples carry fused pure-reference flags, the tier-1
     // drop happens inline here: ~80-90% of shared columns never become
     // candidates, so phases 2 and 3 iterate (and write) 5-10x less
     const bool inline_pure =
         use_prefilter && t->pure != nullptr && n->pure != nullptr;
-    int64_t it = 0, in = 0;
-    while (it < t->n_cols && in < n->n_cols) {
-        int64_t kt = t->ukeys[it], kn = n->ukeys[in];
-        if (kt < kn) {
-            ++it;
-            continue;
-        }
-        if (kn < kt) {
-            ++in;
-            continue;
-        }
-        uint8_t pt_ = 0, pn_ = 0;
-        if (inline_pure) {
-            pt_ = t->pure[it];
-            pn_ = n->pure[in];
-            if (pt_ && pn_) {
+    auto merge_range = [&](int64_t it, int64_t it_hi, int64_t in,
+                           int64_t in_hi, std::vector<Cand>& out) {
+        while (it < it_hi && in < in_hi) {
+            int64_t kt = t->ukeys[it], kn = n->ukeys[in];
+            if (kt < kn) {
                 ++it;
+                continue;
+            }
+            if (kn < kt) {
                 ++in;
                 continue;
             }
+            uint8_t pt_ = 0, pn_ = 0;
+            if (inline_pure) {
+                pt_ = t->pure[it];
+                pn_ = n->pure[in];
+                if (pt_ && pn_) {
+                    ++it;
+                    ++in;
+                    continue;
+                }
+            }
+            int32_t tid = (int32_t)(kt >> 40);
+            int64_t pos = kt & POS_MASK;
+            int32_t rc = 15;
+            if (tid >= 0 && tid < n_ref &&
+                pos < ref_off[tid + 1] - ref_off[tid])
+                rc = (int32_t)ref16[ref_off[tid] + pos];
+            out.push_back({kt, it, in, rc, pt_, pn_});
+            ++it;
+            ++in;
         }
-        int32_t tid = (int32_t)(kt >> 40);
-        int64_t pos = kt & POS_MASK;
-        int32_t rc = 15;
-        if (tid >= 0 && tid < n_ref &&
-            pos < ref_off[tid + 1] - ref_off[tid])
-            rc = (int32_t)ref16[ref_off[tid] + pos];
-        cands.push_back({kt, it, in, rc, pt_, pn_});
-        ++it;
-        ++in;
+    };
+    std::vector<Cand> cands;
+    int64_t cap = t->n_cols < n->n_cols ? t->n_cols : n->n_cols;
+    cands.reserve((size_t)cap);
+    int nthr = (int)std::thread::hardware_concurrency();
+    if (nthr > 1 && cap > (1 << 18)) {
+        // split the key space at the normal sample's midpoint key; both
+        // halves merge independently (shared keys strictly partition)
+        int64_t in_mid = n->n_cols / 2;
+        int64_t pivot = n->ukeys[in_mid];
+        int64_t it_mid = (int64_t)(std::lower_bound(
+                             t->ukeys, t->ukeys + t->n_cols, pivot) -
+                         t->ukeys);
+        std::vector<Cand> hi_cands;
+        hi_cands.reserve((size_t)(cap - in_mid));
+        std::thread th([&]() {
+            merge_range(it_mid, t->n_cols, in_mid, n->n_cols, hi_cands);
+        });
+        merge_range(0, it_mid, 0, in_mid, cands);
+        th.join();
+        cands.insert(cands.end(), hi_cands.begin(), hi_cands.end());
+    } else {
+        merge_range(0, t->n_cols, 0, n->n_cols, cands);
     }
     // phase 2: purity + exact dual-consensus filters, parallel over the
     // shared columns (the serial merge above stays cheap)
