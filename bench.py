@@ -70,26 +70,47 @@ def count_columns(d: Path) -> int:
     return len(np.intersect1d(pu_t.ukeys, pu_n.ukeys, assume_unique=True))
 
 
-def time_ours(d: Path) -> float:
+def _time_mode(d: Path, mode: str, reps: int = 6) -> float:
     from somatic_sniper_tpu.runner import call_pair
 
     args = (str(d / "tumor.bam"), str(d / "normal.bam"),
             str(d / "ref.fa"))
+    list(call_pair(*args, precision=mode))  # warm-up (compiles cached)
     best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        recs = list(call_pair(*args, precision=mode))
+        best = min(best, time.time() - t0)
+    print(f"bench: {mode} best wall {best:.2f}s, {len(recs)} records",
+          file=sys.stderr)
+    return best
+
+
+def time_ours(d: Path) -> float:
     # exact: bit-identical output, all-host native scoring;
     # fast: the TPU device path (f32 batched kernel).  Report the best —
-    # both modes' calls match the reference, exact to the byte.
-    for mode, reps in (("exact", 6), ("fast", 6)):
-        # warm-up compiles the fast path's (B, D) buckets (cached)
-        list(call_pair(*args, precision=mode))
-        mode_best = float("inf")
-        for _ in range(reps):
-            t0 = time.time()
-            recs = list(call_pair(*args, precision=mode))
-            mode_best = min(mode_best, time.time() - t0)
-        print(f"bench: {mode} best wall {mode_best:.2f}s, "
-              f"{len(recs)} records", file=sys.stderr)
-        best = min(best, mode_best)
+    # both modes' calls match the reference, exact to the byte.  The
+    # fast phase runs in a bounded subprocess: on a tunneled device the
+    # first compile/upload can stall for minutes, and a hung device
+    # must not sink the whole benchmark.
+    best = _time_mode(d, "exact")
+    if os.environ.get("SNIPER_BENCH_FAST", "1") != "0":
+        code = (
+            "import bench, sys; from pathlib import Path; "
+            f"print(bench._time_mode(Path({str(d)!r}), 'fast'))"
+        )
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, timeout=300,
+                cwd=str(Path(__file__).resolve().parent),
+            )
+            if r.returncode == 0:
+                best = min(best, float(r.stdout.strip().split()[-1]))
+            print(r.stderr, file=sys.stderr, end="")
+        except subprocess.TimeoutExpired:
+            print("bench: fast mode skipped (device stalled >300s)",
+                  file=sys.stderr)
     return best
 
 
