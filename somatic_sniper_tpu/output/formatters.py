@@ -9,6 +9,7 @@ mean-quality printing helpers of dqstats.c:55-88.
 from __future__ import annotations
 
 import time
+from functools import lru_cache
 from typing import Callable, TextIO
 
 from ..constants import NT16_REV_TABLE
@@ -108,6 +109,7 @@ def vcf_header(fh: TextIO, h: HeaderData) -> None:
     )
 
 
+@lru_cache(maxsize=None)  # <= 16^3 distinct inputs, hit per record
 def _vcf_gt(ref_base: int, alts: int, gt: int) -> str:
     """output_vcf_gt (output_vcf.c:46-79)."""
     allele_count = bin(gt & 0xF).count("1")
