@@ -79,6 +79,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shard-index", type=int, default=None,
                    help="process only this shard (deterministic interval "
                         "partition); omit to process all shards locally")
+    p.add_argument("--jobs", type=int, default=1, metavar="INT",
+                   help="run INT shard worker processes on this host and "
+                        "merge their outputs (built-in equivalent of the "
+                        "manual --shards/--shard-index + merge_shards "
+                        "workflow; the reference scaled only by running "
+                        "one process per chromosome externally)")
     p.add_argument("--window-size", type=int, default=1_000_000,
                    help="genome window length for the region-sharded "
                         "streaming driver [2000000]")
@@ -120,6 +126,60 @@ def _maybe_init_distributed(args) -> None:
     if args.shards == 1 and args.shard_index is None:
         args.shards = num
         args.shard_index = pid
+
+
+def _run_jobs(args) -> int:
+    """--jobs N: spawn N shard worker processes (contiguous genome
+    partition, same numbering as --shards/--shard-index) and merge
+    their outputs; the merged bytes equal a single-process run."""
+    import subprocess
+    import tempfile
+
+    from ..scripts.merge_shards import merge
+
+    base = [
+        sys.executable, "-m", "somatic_sniper_tpu.cli.main",
+        "-f", args.ref, "-F", args.format,
+        "-q", str(args.mapq), "-Q", str(args.min_somatic_qual),
+        "-T", str(args.theta), "-N", str(args.n_hap),
+        "-r", str(args.het_rate),
+        "-n", args.normal_id, "-t", args.tumor_id,
+        "--precision", args.precision,
+        "--window-size", str(args.window_size),
+    ]
+    for flag, on in (("-L", args.no_loh), ("-G", args.no_gor),
+                     ("-p", args.no_priors), ("-J", args.joint)):
+        if on:
+            base.append(flag)
+    if args.somatic_rate is not None:
+        base += ["-s", str(args.somatic_rate)]
+    tmpdir = tempfile.mkdtemp(prefix="sniper_jobs_")
+    outs = [os.path.join(tmpdir, f"shard{i}.out")
+            for i in range(args.jobs)]
+    procs = [
+        subprocess.Popen(
+            base + ["--shards", str(args.jobs), "--shard-index", str(i),
+                    args.tumor_bam, args.normal_bam, outs[i]],
+        )
+        for i in range(args.jobs)
+    ]
+    rc = 0
+    for p in procs:
+        rc = rc or p.wait()
+    if rc:
+        print(f"--jobs worker failed (exit {rc})", file=sys.stderr)
+        return rc
+    merge(args.output, outs)
+    for o in outs:
+        try:
+            os.unlink(o)
+        except OSError:
+            pass
+    try:
+        os.rmdir(tmpdir)
+    except OSError:
+        pass
+    return 0
 
 
 def main(argv=None) -> int:
@@ -195,6 +255,12 @@ def main(argv=None) -> int:
         normal_sample_id=args.normal_id,
         tumor_sample_id=args.tumor_id,
     )
+    if args.jobs > 1:
+        if args.shard_index is not None or args.manifest:
+            print("--jobs cannot combine with --shard-index/--manifest",
+                  file=sys.stderr)
+            return 1
+        return _run_jobs(args)
     from ..utils import stats as run_stats
 
     use_sharded = (
