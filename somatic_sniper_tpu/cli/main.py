@@ -261,6 +261,16 @@ def main(argv=None) -> int:
                   file=sys.stderr)
             return 1
         return _run_jobs(args)
+    try:
+        return _run(args, params, header_fn, record_fn, hdata)
+    except (OSError, ValueError) as e:
+        # fail fast with a message, like the reference's exit paths
+        # (truncated/corrupt/unsorted inputs, malformed .fai, ...)
+        print(f"bam-somaticsniper-tpu: {e}", file=sys.stderr)
+        return 1
+
+
+def _run(args, params, header_fn, record_fn, hdata) -> int:
     from ..utils import stats as run_stats
 
     use_sharded = (

@@ -355,6 +355,20 @@ static int64_t parse_bam_header(const uint8_t* buf, int64_t n,
 static void decode_record(BamStorage* st, const uint8_t* r);
 static NativeBam* finish_bam(BamStorage* st);
 
+// A corrupted record can claim name/cigar/seq lengths that overrun its
+// own block_size (and, downstream, absurd allocation sizes); reject the
+// file instead of reading out of the record.
+static bool record_layout_ok(const uint8_t* r, int32_t bs) {
+    if (bs < 32) return false;
+    const int32_t l_read_name = r[8];
+    const int32_t n_cigar = rd_u16(r + 12);
+    const int64_t l_seq = rd_i32(r + 16);
+    if (l_seq < 0) return false;
+    const int64_t need = 32 + l_read_name + 4 * (int64_t)n_cigar +
+                         (l_seq + 1) / 2 + l_seq;
+    return need <= bs;
+}
+
 }  // namespace
 
 extern "C" {
@@ -364,6 +378,7 @@ static thread_local std::string g_err;
 const char* sniper_last_error() { return g_err.c_str(); }
 
 NativeBam* bam_load(const char* path, int n_threads) {
+    try {
     std::vector<uint8_t> raw;
     if (!read_file(path, raw)) {
         g_err = std::string("cannot read ") + path;
@@ -405,8 +420,9 @@ NativeBam* bam_load(const char* path, int n_threads) {
     st->qual.reserve((size_t)n / 2);
     while (p + 4 <= n) {
         int32_t bs = rd_i32(&buf[p]);
-        if (bs < 32 || p + 4 + bs > n) {
-            g_err = "truncated BAM record";
+        if (bs < 32 || p + 4 + bs > n ||
+            !record_layout_ok(&buf[p + 4], bs)) {
+            g_err = "truncated or corrupt BAM record";
             delete st;
             return nullptr;
         }
@@ -419,6 +435,10 @@ NativeBam* bam_load(const char* path, int n_threads) {
         return nullptr;
     }
     return finish_bam(st);
+    } catch (const std::exception& e) {
+        g_err = std::string("native load failed: ") + e.what();
+        return nullptr;
+    }
 }
 
 void bam_destroy(NativeBam* nb) {
@@ -622,6 +642,11 @@ static bool region_scan(const char* path, const int64_t* chunks,
         while (p + 4 <= stop) {
             int32_t bs = rd_i32(&all[p]);
             if (p + 4 + bs > n) break;  // record clipped by chunk end
+            if (bs < 32 || !record_layout_ok(&all[p + 4], bs)) {
+                err = "truncated or corrupt BAM record";
+                fclose(f);
+                return false;
+            }
             const uint8_t* r = &all[p + 4];
             int32_t rtid = rd_i32(r + 0);
             int64_t rpos = rd_i32(r + 4);
@@ -651,6 +676,7 @@ extern "C" {
 NativeBam* bam_load_region(const char* path, const int64_t* chunks,
                            int64_t n_chunks, int32_t tid, int64_t beg,
                            int64_t end, int n_threads) {
+    try {
     std::vector<uint8_t> all;
     std::vector<int64_t> kept;
     if (!region_scan(path, chunks, n_chunks, tid, beg, end, n_threads,
@@ -659,6 +685,10 @@ NativeBam* bam_load_region(const char* path, const int64_t* chunks,
     auto* st = new BamStorage();
     for (int64_t off : kept) decode_record(st, &all[off]);
     return finish_bam(st);
+    } catch (const std::exception& e) {
+        g_err = std::string("native load failed: ") + e.what();
+        return nullptr;
+    }
 }
 
 // Fused region load (the windowed/sharded production path): inflate
@@ -678,6 +708,7 @@ NativePileup* bam_load_region_pileup(
 // path (bam_load_pileup) returns a bare pileup, so callers fetch header
 // metadata through this without paying a whole-file inflate.
 NativeBamHeader* bam_read_header(const char* path) {
+    try {
     FILE* f = fopen(path, "rb");
     if (!f) {
         g_err = std::string("cannot read ") + path;
@@ -744,6 +775,10 @@ NativeBamHeader* bam_read_header(const char* path) {
     h->ref_names_len = (int64_t)hs->ref_names.size();
     h->_storage = hs;
     return h;
+    } catch (const std::exception& e) {
+        g_err = std::string("native load failed: ") + e.what();
+        return nullptr;
+    }
 }
 
 void bam_header_destroy(NativeBamHeader* h) {
@@ -771,6 +806,7 @@ struct NativeRecTable {
 };
 
 NativeRecTable* bam_record_table(const char* path, int n_threads) {
+    try {
     std::vector<uint8_t> raw;
     if (!read_file(path, raw)) {
         g_err = std::string("cannot read ") + path;
@@ -830,8 +866,9 @@ NativeRecTable* bam_record_table(const char* path, int n_threads) {
     };
     while (p + 4 <= n) {
         int32_t bs = rd_i32(&buf[p]);
-        if (bs < 32 || p + 4 + bs > n) {
-            g_err = "truncated BAM record";
+        if (bs < 32 || p + 4 + bs > n ||
+            !record_layout_ok(&buf[p + 4], bs)) {
+            g_err = "truncated or corrupt BAM record";
             delete st;
             return nullptr;
         }
@@ -857,6 +894,10 @@ NativeRecTable* bam_record_table(const char* path, int n_threads) {
     rt->end = st->end.data();
     rt->_storage = st;
     return rt;
+    } catch (const std::exception& e) {
+        g_err = std::string("native load failed: ") + e.what();
+        return nullptr;
+    }
 }
 
 void rec_table_destroy(NativeRecTable* rt) {
@@ -1222,6 +1263,7 @@ NativePileup* bam_load_pileup(const char* path, int n_threads,
                               const uint8_t* ref16, const int64_t* ref_off,
                               int32_t n_ref, const double* fk,
                               const double* gmin, double margin) {
+    try {
     std::vector<uint8_t> raw;
     if (!read_file(path, raw)) {
         g_err = std::string("cannot read ") + path;
@@ -1242,8 +1284,9 @@ NativePileup* bam_load_pileup(const char* path, int n_threads,
     off.reserve((size_t)((n - p) / 100) + 16);
     while (p + 4 <= n) {
         int32_t bs = rd_i32(&buf[p]);
-        if (bs < 32 || p + 4 + bs > n) {
-            g_err = "truncated BAM record";
+        if (bs < 32 || p + 4 + bs > n ||
+            !record_layout_ok(&buf[p + 4], bs)) {
+            g_err = "truncated or corrupt BAM record";
             return nullptr;
         }
         off.push_back(p + 4);
@@ -1259,6 +1302,10 @@ NativePileup* bam_load_pileup(const char* path, int n_threads,
     if (np && ref16)
         fill_pure_flags(np, ref16, ref_off, n_ref, fk, gmin, margin);
     return np;
+    } catch (const std::exception& e) {
+        g_err = std::string("native load failed: ") + e.what();
+        return nullptr;
+    }
 }
 
 NativePileup* bam_load_region_pileup(
@@ -1267,6 +1314,7 @@ NativePileup* bam_load_region_pileup(
     int mapq_thresh, int64_t drop_first_end_le, const uint8_t* ref16,
     const int64_t* ref_off, int32_t n_ref, const double* fk,
     const double* gmin, double margin) {
+    try {
     std::vector<uint8_t> all;
     std::vector<int64_t> kept;
     if (!region_scan(path, chunks, n_chunks, tid, beg, end, n_threads,
@@ -1278,6 +1326,10 @@ NativePileup* bam_load_region_pileup(
     if (np && ref16)
         fill_pure_flags(np, ref16, ref_off, n_ref, fk, gmin, margin);
     return np;
+    } catch (const std::exception& e) {
+        g_err = std::string("native load failed: ") + e.what();
+        return nullptr;
+    }
 }
 
 void pileup_destroy(NativePileup* np) {
