@@ -96,3 +96,28 @@ def test_unsorted_bam_rejected(tmp_path):
     write_bam(bad, ["c1"], [1000], recs)
     with pytest.raises(IOError, match="not coordinate-sorted"):
         native_api.load_and_columnize(str(bad))
+
+
+def test_corrupt_inputs_fail_cleanly(data_dir, tmp_path):
+    """Corrupted BAMs must raise a clean IOError from the native loads
+    (never abort the process; reference behavior is fail-fast exits)."""
+    import gzip
+
+    import numpy as np
+
+    from somatic_sniper_tpu.io.bam_writer import bgzf_compress
+
+    raw = gzip.decompress((data_dir / "t-small.bam").read_bytes())
+    rng = np.random.default_rng(3)
+    bad = tmp_path / "bad.bam"
+    for trial in range(20):
+        data = bytearray(raw)
+        for _ in range(int(rng.integers(1, 8))):
+            data[int(rng.integers(4, len(data)))] = int(
+                rng.integers(0, 256)
+            )
+        bad.write_bytes(bgzf_compress(bytes(data)))
+        try:
+            native_api.load_and_columnize(str(bad))
+        except (IOError, ValueError):
+            pass  # clean failure (or, rarely, a still-parseable file)
