@@ -16,6 +16,56 @@ from ..output.formatters import FORMATTERS, get_formatter
 from ..output.records import HeaderData
 
 
+def usage_text(progname: str = "bam-somaticsniper-tpu",
+               mapq: int = 0, min_somatic_qual: int = 15,
+               somatic_mutation_rate: float = 0.01, theta: float = 0.85,
+               n_hap: int = 2, het_rate: float = 0.001) -> str:
+    """The reference's usage() text, byte-for-byte modulo the program
+    name (reference main.c:27-62, incl. the double space in the -Q line
+    and the registry-order format list of output_format.c:10-17)."""
+    lines = [
+        "",
+        "",
+        f"{progname} [options] -f <ref.fasta> <tumor.bam> <normal.bam>"
+        " <snp_output_file>",
+        "",
+        "Required Option: ",
+        "        -f FILE   REQUIRED reference sequence in the FASTA"
+        " format",
+        "",
+        "Options: ",
+        "        -v        Display version information",
+        "",
+        f"        -q INT    filtering reads with mapping quality less"
+        f" than INT [{mapq}]",
+        f"        -Q INT    filtering somatic snv output with somatic"
+        f" quality less than  INT [{min_somatic_qual}]",
+        "        -L FLAG   do not report LOH variants as determined by"
+        " genotypes",
+        "        -G FLAG   do not report Gain of Reference variants as"
+        " determined by genotypes",
+        "        -p FLAG   disable priors in the somatic calculation."
+        " Increases sensitivity for solid tumors",
+        "        -J FLAG   Use prior probabilities accounting for the"
+        " somatic mutation rate",
+        f"        -s FLOAT  prior probability of a somatic mutation"
+        f" (implies -J) [{somatic_mutation_rate:f}]",
+        f"        -T FLOAT  theta in maq consensus calling model"
+        f" (for -c/-g) [{theta:f}]",
+        f"        -N INT    number of haplotypes in the sample"
+        f" (for -c/-g) [{n_hap}]",
+        f"        -r FLOAT  prior of a difference between two haplotypes"
+        f" (for -c/-g) [{het_rate:f}]",
+        "        -n STRING normal sample id (for VCF header) [NORMAL]",
+        "        -t STRING tumor sample id (for VCF header) [TUMOR]",
+        "        -F STRING select output format [classic]",
+        "           Available formats:",
+    ] + [f"             {name}" for name in ("classic", "vcf", "bed")] + [
+        "",
+    ]
+    return "\n".join(lines) + "\n"
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="bam-somaticsniper-tpu",
@@ -87,7 +137,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "one process per chromosome externally)")
     p.add_argument("--window-size", type=int, default=1_000_000,
                    help="genome window length for the region-sharded "
-                        "streaming driver [2000000]")
+                        "streaming driver [1000000]")
     p.add_argument("--stats", action="store_true",
                    help="print per-stage wall-clock/volume counters to "
                         "stderr at exit (also SNIPER_STATS=1); set "
@@ -198,11 +248,23 @@ def main(argv=None) -> int:
         # arithmetic and requires x64-enabled JAX
         jax.config.update("jax_enable_x64", True)
     if args.version:
-        print(f"Somatic Sniper TPU version {__version__}")
+        # reference version_info() format (main.c:20-25): version, commit,
+        # optional build type; "tpu" is this build's type tag
+        print(f"Somatic Sniper version ({__version__}) "
+              f"(commit unknown) (tpu)")
         return 0
     _maybe_init_distributed(args)
     if not (args.tumor_bam and args.normal_bam and args.output):
-        build_parser().print_help(sys.stderr)
+        # reference usage() text (main.c:27-62); --help keeps the
+        # argparse surface with the TPU-era flags
+        sys.stderr.write(usage_text(
+            mapq=args.mapq, min_somatic_qual=args.min_somatic_qual,
+            somatic_mutation_rate=(
+                args.somatic_rate if args.somatic_rate is not None
+                else 0.01
+            ),
+            theta=args.theta, n_hap=args.n_hap, het_rate=args.het_rate,
+        ))
         return 1
     if not args.ref:
         print("You MUST specify a reference sequence. It isn't optional.",
