@@ -347,6 +347,32 @@ def _c_trunc_half(x64):
     return jnp.floor(x64 + 0.5).astype(I32)
 
 
+def _shard_map_acc(fn, mesh, n_in: int, n_out2d: int, n_out1d: int):
+    """shard_map a Pallas accumulate over the batch axis of a 1-D mesh.
+
+    The kernel maps independently over columns, so sharding the leading
+    axis needs no communication: each device runs the kernel on its
+    slab (inputs: one [B, D] then 1-D per-column arrays; outputs:
+    ``n_out2d`` [B, 4] arrays then ``n_out1d`` [B] arrays).  This is
+    what makes the hand-written kernel GSPMD-compatible — pallas_call
+    itself has no partitioning rule, but shard_map gives it one.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    in_specs = (P(axis, None),) + (P(axis),) * (n_in - 1)
+    out_specs = (P(axis, None),) * n_out2d + (P(axis),) * n_out1d
+    if len(out_specs) == 1:
+        out_specs = out_specs[0]
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-
+    # axes annotation; the specs above are the (trivially correct)
+    # batch-axis partitioning, no replication anywhere.
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )
+
+
 def _pallas_backend() -> str:
     """Trace-time choice of the fast-path accumulate implementation.
 
@@ -373,7 +399,9 @@ def _pallas_backend() -> str:
 
 @partial(
     jax.jit,
-    static_argnames=("precision", "cap_mapq", "theta", "eta", "backend"),
+    static_argnames=(
+        "precision", "cap_mapq", "theta", "eta", "backend", "mesh",
+    ),
 )
 def glfgen_batch(
     cols: ColumnBatch,
@@ -385,6 +413,7 @@ def glfgen_batch(
     theta: float = 0.85,
     eta: float = 0.03,
     backend: str = "auto",
+    mesh=None,
 ) -> GlfResult:
     """Batched sniper_maqcns_glfgen (reference sniper_maqcns.c:127-248).
 
@@ -392,6 +421,11 @@ def glfgen_batch(
     computation; the exact path reads the float64 ``fk64`` table.
     ``backend`` selects the fast-path accumulate: "auto" (Pallas on TPU,
     XLA elsewhere), "xla", "pallas", or "pallas_interpret" (tests).
+    ``mesh`` (a 1-D ("data",) jax Mesh) makes the Pallas accumulate
+    GSPMD-compatible: the kernel is shard_mapped over the batch axis —
+    each device runs it on its slab — while the rest of the likelihood
+    assembly partitions under plain GSPMD.  The batch size must divide
+    by the mesh size.
     """
     acc_f = F64 if precision == "exact" else F32
 
@@ -417,10 +451,15 @@ def glfgen_batch(
             if backend in ("pallas", "pallas_interpret"):
                 from ..ops.pallas_glfgen import accumulate16
 
-                esum, fsum, c = accumulate16(
-                    cols.slots, cols.n_keep, theta=theta, eta=eta,
+                acc16 = partial(
+                    accumulate16, theta=theta, eta=eta,
                     interpret=(backend == "pallas_interpret"),
                 )
+                if mesh is not None:
+                    acc16 = _shard_map_acc(
+                        acc16, mesh, n_in=2, n_out2d=3, n_out1d=0
+                    )
+                esum, fsum, c = acc16(cols.slots, cols.n_keep)
             else:
                 esum, fsum, c = _fast_accumulate16(
                     cols.slots, cols.n_keep, theta, eta
@@ -430,10 +469,16 @@ def glfgen_batch(
         elif backend in ("pallas", "pallas_interpret"):
             from ..ops.pallas_glfgen import accumulate
 
-            esum, fsum, c, rms, n = accumulate(
-                cols.slots, cols.depth, cols.ref16,
-                theta=theta, eta=eta, cap_mapq=cap_mapq,
+            acc = partial(
+                accumulate, theta=theta, eta=eta, cap_mapq=cap_mapq,
                 interpret=(backend == "pallas_interpret"),
+            )
+            if mesh is not None:
+                acc = _shard_map_acc(
+                    acc, mesh, n_in=3, n_out2d=3, n_out1d=2
+                )
+            esum, fsum, c, rms, n = acc(
+                cols.slots, cols.depth, cols.ref16
             )
         else:
             info, n = pack_info(cols)

@@ -60,6 +60,7 @@ _proper_subset = genotype_is_proper_subset
     jax.jit,
     static_argnames=(
         "precision", "use_joint", "cap_mapq", "theta", "eta", "glf_backend",
+        "mesh",
     ),
 )
 def call_batch(
@@ -81,6 +82,7 @@ def call_batch(
     theta: float = 0.85,
     eta: float = 0.03,
     glf_backend: str = "auto",
+    mesh=None,
 ) -> CallResult:
     """Batched glf_somatic (reference somatic_sniper.c:109-273).
 
@@ -94,10 +96,10 @@ def call_batch(
     """
     g_t = glfgen_batch(tumor, fk64, coef64, lhet64, precision=precision,
                        cap_mapq=cap_mapq, theta=theta, eta=eta,
-                       backend=glf_backend)
+                       backend=glf_backend, mesh=mesh)
     g_n = glfgen_batch(normal, fk64, coef64, lhet64, precision=precision,
                        cap_mapq=cap_mapq, theta=theta, eta=eta,
-                       backend=glf_backend)
+                       backend=glf_backend, mesh=mesh)
 
     cns_t = glf2cns_batch(g_t.lk, tumor.depth, q_r_int)
     cns_n = glf2cns_batch(g_n.lk, normal.depth, q_r_int)
@@ -210,7 +212,7 @@ class CompactResult(NamedTuple):
     jax.jit,
     static_argnames=(
         "precision", "use_joint", "cap_mapq", "theta", "eta", "max_emit",
-        "glf_backend",
+        "glf_backend", "mesh",
     ),
 )
 def call_batch_compact(
@@ -233,6 +235,7 @@ def call_batch_compact(
     eta: float = 0.03,
     max_emit: int = 16384,
     glf_backend: str = "auto",
+    mesh=None,
 ) -> CompactResult:
     """call_batch + on-device compaction of the emitted rows.
 
@@ -244,7 +247,7 @@ def call_batch_compact(
         qadd_table, q_r_int, precision=precision, use_joint=use_joint,
         min_somatic_qual=min_somatic_qual, include_loh=include_loh,
         include_gor=include_gor, cap_mapq=cap_mapq, theta=theta, eta=eta,
-        glf_backend=glf_backend,
+        glf_backend=glf_backend, mesh=mesh,
     )
     K = min(max_emit, res.emit.shape[0])
     idx = jnp.nonzero(res.emit, size=K, fill_value=0)[0].astype(I32)
@@ -260,6 +263,7 @@ def call_batch_compact(
     jax.jit,
     static_argnames=(
         "use_joint", "cap_mapq", "theta", "eta", "max_emit", "glf_backend",
+        "mesh",
     ),
 )
 def call_batch_packed(
@@ -281,6 +285,7 @@ def call_batch_packed(
     eta: float = 0.03,
     max_emit: int = 16384,
     glf_backend: str = "auto",
+    mesh=None,
 ) -> CompactResult:
     """Fast-path entry over bit-packed inputs (D <= 255 depth buckets).
 
@@ -314,7 +319,7 @@ def call_batch_packed(
         qadd_table, q_r_int, precision="fast", use_joint=use_joint,
         min_somatic_qual=min_somatic_qual, include_loh=include_loh,
         include_gor=include_gor, cap_mapq=cap_mapq, theta=theta, eta=eta,
-        max_emit=max_emit, glf_backend=glf_backend,
+        max_emit=max_emit, glf_backend=glf_backend, mesh=mesh,
     )
 
 
@@ -322,7 +327,7 @@ def call_batch_packed(
     jax.jit,
     static_argnames=(
         "precision", "use_joint", "cap_mapq", "theta", "eta", "max_emit",
-        "glf_backend", "packed16", "compact",
+        "glf_backend", "mesh", "packed16", "compact",
     ),
 )
 def call_batch_stacked(
@@ -345,6 +350,7 @@ def call_batch_stacked(
     eta: float = 0.03,
     max_emit: int = 16384,
     glf_backend: str = "auto",
+    mesh=None,
     packed16: bool = False,
     compact: bool = True,
 ):
@@ -370,7 +376,7 @@ def call_batch_stacked(
         precision=precision, use_joint=use_joint,
         min_somatic_qual=min_somatic_qual, include_loh=include_loh,
         include_gor=include_gor, cap_mapq=cap_mapq, theta=theta, eta=eta,
-        glf_backend=glf_backend,
+        glf_backend=glf_backend, mesh=mesh,
     )
     if compact:
         return call_batch_compact(

@@ -72,13 +72,14 @@ def sharded_call_batch(
     normal = shard_column_batch(normal, mesh)
     fk, coef, lhet, solo, joint, qadd, q_r_int = tables_args
     put = lambda x: jax.device_put(jnp.asarray(x), repl)
-    # the Pallas fast-path kernel is not auto-partitionable under a
-    # NamedSharding jit; the XLA accumulate partitions cleanly
+    # passing the mesh makes the Pallas fast-path accumulate run under
+    # shard_map (one kernel per device slab); the rest partitions via
+    # GSPMD.  glf_backend stays selectable through kwargs.
     return call_batch(
         tumor, normal,
         put(fk), put(coef), put(lhet), put(solo), put(joint), put(qadd),
         q_r_int, precision=precision, use_joint=use_joint,
-        glf_backend="xla", **kwargs,
+        mesh=mesh, **kwargs,
     )
 
 

@@ -538,15 +538,15 @@ def _dispatch_fast_inner(plan, s, e, D, pu_t, pu_n, dtabs, cap_mapq):
             | (nk_n.astype(np.uint32) << 24)
         )
         mesh = data_mesh()
-        backend = "auto"
-        if mesh is not None and B % mesh.size == 0:
+        if mesh is not None and B % mesh.size != 0:
+            mesh = None
+        if mesh is not None:
             # multi-chip: shard the batch axis over the data mesh; each
-            # device scores its slab, XLA gathers the compacted rows.
-            # The Pallas kernel is not GSPMD-partitionable, so sharded
-            # dispatch pins the XLA accumulate.
+            # device scores its slab (the Pallas accumulate runs under
+            # shard_map, the rest under GSPMD), XLA gathers the
+            # compacted rows.
             stacked = _shard_batch(stacked_h, mesh, 1)
             meta = _shard_batch(meta_h, mesh, 1)
-            backend = "xla"
         else:
             stacked = jnp.asarray(stacked_h)
             meta = jnp.asarray(meta_h)
@@ -558,7 +558,7 @@ def _dispatch_fast_inner(plan, s, e, D, pu_t, pu_n, dtabs, cap_mapq):
             min_somatic_qual=p.min_somatic_qual,
             include_loh=p.include_loh, include_gor=p.include_gor,
             cap_mapq=p.cap_mapq, theta=p.theta, eta=p.eta,
-            max_emit=min(B, 16384), glf_backend=backend,
+            max_emit=min(B, 16384), mesh=mesh,
         )
         d_t = plan.d_t[s:e].astype(np.int32)
         d_n = plan.d_n[s:e].astype(np.int32)
@@ -576,11 +576,11 @@ def _dispatch_fast_inner(plan, s, e, D, pu_t, pu_n, dtabs, cap_mapq):
         meta_h[1, :b0] = plan.d_n[s:e]
         meta_h[2, :b0] = ref16
         mesh = data_mesh()
-        backend = "auto"
-        if mesh is not None and B % mesh.size == 0:
+        if mesh is not None and B % mesh.size != 0:
+            mesh = None
+        if mesh is not None:
             stacked = _shard_batch(stacked_h, mesh, 1)
             meta = _shard_batch(meta_h, mesh, 1)
-            backend = "xla"
         else:
             stacked = jnp.asarray(stacked_h)
             meta = jnp.asarray(meta_h)
@@ -596,7 +596,7 @@ def _dispatch_fast_inner(plan, s, e, D, pu_t, pu_n, dtabs, cap_mapq):
             min_somatic_qual=p.min_somatic_qual,
             include_loh=p.include_loh, include_gor=p.include_gor,
             cap_mapq=p.cap_mapq, theta=p.theta, eta=p.eta,
-            max_emit=min(B, 16384), glf_backend=backend,
+            max_emit=min(B, 16384), mesh=mesh,
         )
         d_t = meta_h[0, :b0]
         d_n = meta_h[1, :b0]
@@ -769,11 +769,11 @@ def submit_call_batch(
         ]
     meta_h = np.stack(meta_rows)
     mesh = data_mesh()
-    glf_backend = "auto"
-    if mesh is not None and B % mesh.size == 0:
+    if mesh is not None and B % mesh.size != 0:
+        mesh = None
+    if mesh is not None:
         stacked = _shard_batch(stacked_h, mesh, 1)
         meta = _shard_batch(meta_h, mesh, 1)
-        glf_backend = "xla"  # Pallas is not GSPMD-partitionable
     else:
         stacked = jnp.asarray(stacked_h)
         meta = jnp.asarray(meta_h)
@@ -796,7 +796,7 @@ def submit_call_batch(
         theta=p.theta,
         eta=p.eta,
         max_emit=min(B, 16384),
-        glf_backend=glf_backend,
+        mesh=mesh,
         packed16=batch.packed16,
         compact=compact,
     )

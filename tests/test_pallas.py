@@ -149,3 +149,70 @@ def test_glfgen_pallas_backend_matches_xla():
                                   np.asarray(g_x.depth))
     np.testing.assert_array_equal(np.asarray(g_p.rms_mapq),
                                   np.asarray(g_x.rms_mapq))
+
+
+def _mesh8():
+    import jax
+    from somatic_sniper_tpu.parallel.sharding import make_mesh
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8)
+
+
+def test_glfgen_pallas_shard_map_matches_single_device():
+    """With a mesh, the Pallas accumulate runs under shard_map (one
+    kernel per device slab) and must reproduce the single-device kernel
+    bit-for-bit — padding is per-slab but pad rows are unoccupied."""
+    mesh = _mesh8()
+    tabs = T.build_tables(T.ModelParams())
+    cb = _random_batch(256, 32, 13)
+    g_one = glfgen_batch(cb, tabs.fk, tabs.coef, tabs.lhet,
+                         precision="fast", backend="pallas_interpret")
+    g_mesh = glfgen_batch(cb, tabs.fk, tabs.coef, tabs.lhet,
+                          precision="fast", backend="pallas_interpret",
+                          mesh=mesh)
+    for a, b in zip(g_mesh, g_one):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_glfgen_pallas_shard_map_packed16_matches_single_device():
+    mesh = _mesh8()
+    tabs = T.build_tables(T.ModelParams())
+    cb16 = _to_packed16(_random_batch(128, 24, 17))
+    g_one = glfgen_batch(cb16, tabs.fk, tabs.coef, tabs.lhet,
+                         precision="fast", backend="pallas_interpret")
+    g_mesh = glfgen_batch(cb16, tabs.fk, tabs.coef, tabs.lhet,
+                          precision="fast", backend="pallas_interpret",
+                          mesh=mesh)
+    for a, b in zip(g_mesh, g_one):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_call_batch_pallas_matches_xla():
+    """The production mesh dispatch no longer pins the XLA accumulate:
+    the Pallas (interpret) backend must run under the mesh and produce
+    the same calls."""
+    from somatic_sniper_tpu.parallel.sharding import sharded_call_batch
+
+    mesh = _mesh8()
+    tabs = T.build_tables(T.ModelParams())
+    tb = _random_batch(128, 32, 19)
+    nb = _random_batch(128, 32, 23)
+    targs = (tabs.fk.astype(np.float32), tabs.coef.astype(np.float32),
+             tabs.lhet.astype(np.float32), tabs.solo_prior,
+             tabs.joint_prior, tabs.qadd, tabs.q_r_int)
+    r_x = sharded_call_batch(mesh, tb, nb, targs, precision="fast",
+                             use_joint=True, glf_backend="xla")
+    r_p = sharded_call_batch(mesh, tb, nb, targs, precision="fast",
+                             use_joint=True,
+                             glf_backend="pallas_interpret")
+    np.testing.assert_array_equal(np.asarray(r_p.emit),
+                                  np.asarray(r_x.emit))
+    np.testing.assert_array_equal(np.asarray(r_p.tumor_gt),
+                                  np.asarray(r_x.tumor_gt))
+    np.testing.assert_array_equal(np.asarray(r_p.normal_gt),
+                                  np.asarray(r_x.normal_gt))
+    d = np.abs(np.asarray(r_p.somatic_score).astype(int)
+               - np.asarray(r_x.somatic_score).astype(int))
+    assert d.max() <= 1
