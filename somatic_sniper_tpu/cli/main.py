@@ -236,6 +236,13 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     import jax
 
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        # honor JAX_PLATFORMS even when a site hook (e.g. a TPU-plugin
+        # sitecustomize) registered another platform at interpreter
+        # start — multi-process CPU runs would otherwise all race for
+        # the same accelerator
+        jax.config.update("jax_platforms", plat)
     try:  # persistent compile cache: cold starts reuse prior kernels
         jax.config.update(
             "jax_compilation_cache_dir",
