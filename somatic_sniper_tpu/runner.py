@@ -488,32 +488,63 @@ def submit_batches_planned(
                     _dispatch_fast(plan, s, e, D, pu_t, pu_n, dtabs,
                                    cap_mapq)
                 )
-        else:  # oversize columns: one batch each at its own depth
-            for s in range(lo, hi):
-                D = int(max(plan.d_t[s], plan.d_n[s]))
+        elif hi > lo:
+            # columns deeper than the deepest bucket (amplicons,
+            # centromeric pileups): batch them too.  Sort by depth and
+            # cut greedy chunks, each padded to a 1024-multiple depth —
+            # one dispatch per chunk instead of one per column, and the
+            # batch axis pads to small powers of two instead of 256.
+            dmax = np.maximum(plan.d_t[lo:hi], plan.d_n[lo:hi])
+            order = np.argsort(dmax, kind="stable")
+            sel_all = np.arange(lo, hi)[order]
+            d_sorted = dmax[order]
+            MAX_ELEMS = 4 << 20  # u16 slots per sample per chunk (8 MiB)
+            s = 0
+            while s < len(sel_all):
+                e = s + 1
+                while e < len(sel_all):
+                    Dn = _depth_pad(int(d_sorted[e]))
+                    if (e - s + 1) * Dn > MAX_ELEMS or e - s >= max_batch:
+                        break
+                    e += 1
+                D = _depth_pad(int(d_sorted[e - 1]))
                 pending.append(
-                    _dispatch_fast(plan, s, s + 1, D, pu_t, pu_n, dtabs,
-                                   cap_mapq)
+                    _dispatch_fast(plan, s, e, D, pu_t, pu_n, dtabs,
+                                   cap_mapq, sel=sel_all[s:e], b_min=8)
                 )
+                s = e
     return pending
 
 
-def _dispatch_fast(plan, s, e, D, pu_t, pu_n, dtabs, cap_mapq):
+def _depth_pad(d: int, step: int = 1024) -> int:
+    """Oversize-column depth padding: next multiple of ``step`` (bounds
+    XLA compile variety for the rare beyond-the-buckets columns)."""
+    return ((d + step - 1) // step) * step
+
+
+def _dispatch_fast(plan, s, e, D, pu_t, pu_n, dtabs, cap_mapq,
+                   sel=None, b_min=256):
     """Zero-extra-copy dispatch of plan columns [s, e) at depth D: the
     padded [2,B,D] slot stack and the [7,B] metadata block are written in
     place by the native pad16 (no per-sample arrays, no np.stack, no
     re-pad), then shipped as exactly two uploads.  Reference characters
-    for the handful of emitted records are resolved at collect time."""
+    for the handful of emitted records are resolved at collect time.
+
+    ``sel`` (an int index array) overrides the contiguous [s, e) span —
+    the oversize path dispatches depth-sorted chunks; ``b_min`` is the
+    smallest batch-axis padding (small for rare deep chunks)."""
     with STATS.timer("pad+dispatch"):
         return _dispatch_fast_inner(plan, s, e, D, pu_t, pu_n, dtabs,
-                                    cap_mapq)
+                                    cap_mapq, sel, b_min)
 
 
-def _dispatch_fast_inner(plan, s, e, D, pu_t, pu_n, dtabs, cap_mapq):
+def _dispatch_fast_inner(plan, s, e, D, pu_t, pu_n, dtabs, cap_mapq,
+                         sel=None, b_min=256):
     p = dtabs.params
-    b0 = e - s
-    B = _b_bucket(b0)
-    ref16 = plan.ref16[s:e]
+    sel = slice(s, e) if sel is None else np.ascontiguousarray(sel)
+    b0 = (e - s) if isinstance(sel, slice) else len(sel)
+    B = _b_bucket(b0, minimum=b_min)
+    ref16 = np.ascontiguousarray(plan.ref16[sel])
     stacked_h = np.zeros((2, B, D), np.uint16)
     if D <= 255:
         # bit-packed metadata: 12 B/column instead of 28 (the upload
@@ -523,17 +554,19 @@ def _dispatch_fast_inner(plan, s, e, D, pu_t, pu_n, dtabs, cap_mapq):
         meta_h = np.zeros((3, B), np.int32)
         nk_t = np.empty(b0, np.int32)
         nk_n = np.empty(b0, np.int32)
-        pu_t.owner.pad16_into(plan.ti[s:e], ref16, D, cap_mapq,
-                              stacked_h[0, :b0], nk_t, meta_h[0, :b0])
-        pu_n.owner.pad16_into(plan.ni[s:e], ref16, D, cap_mapq,
-                              stacked_h[1, :b0], nk_n, meta_h[1, :b0])
+        pu_t.owner.pad16_into(np.ascontiguousarray(plan.ti[sel]), ref16, D,
+                              cap_mapq, stacked_h[0, :b0], nk_t,
+                              meta_h[0, :b0])
+        pu_n.owner.pad16_into(np.ascontiguousarray(plan.ni[sel]), ref16, D,
+                              cap_mapq, stacked_h[1, :b0], nk_n,
+                              meta_h[1, :b0])
         rms_t = meta_h[0, :b0].copy()
         rms_n = meta_h[1, :b0].copy()
         meta_h[0, :b0] |= ref16.astype(np.int32) << 24
         mv = meta_h.view(np.uint32)
         mv[2, :b0] = (
-            plan.d_t[s:e].astype(np.uint32)
-            | (plan.d_n[s:e].astype(np.uint32) << 8)
+            plan.d_t[sel].astype(np.uint32)
+            | (plan.d_n[sel].astype(np.uint32) << 8)
             | (nk_t.astype(np.uint32) << 16)
             | (nk_n.astype(np.uint32) << 24)
         )
@@ -560,20 +593,20 @@ def _dispatch_fast_inner(plan, s, e, D, pu_t, pu_n, dtabs, cap_mapq):
             cap_mapq=p.cap_mapq, theta=p.theta, eta=p.eta,
             max_emit=min(B, 16384), mesh=mesh,
         )
-        d_t = plan.d_t[s:e].astype(np.int32)
-        d_n = plan.d_n[s:e].astype(np.int32)
+        d_t = plan.d_t[sel].astype(np.int32)
+        d_n = plan.d_n[sel].astype(np.int32)
     else:
         # deep/oversize columns: rms_sum can exceed 24 bits, use the
         # row-per-field metadata layout
         meta_h = np.zeros((7, B), np.int32)
-        pu_t.owner.pad16_into(plan.ti[s:e], ref16, D, cap_mapq,
-                              stacked_h[0, :b0], meta_h[3, :b0],
+        pu_t.owner.pad16_into(np.ascontiguousarray(plan.ti[sel]), ref16, D,
+                              cap_mapq, stacked_h[0, :b0], meta_h[3, :b0],
                               meta_h[5, :b0])
-        pu_n.owner.pad16_into(plan.ni[s:e], ref16, D, cap_mapq,
-                              stacked_h[1, :b0], meta_h[4, :b0],
+        pu_n.owner.pad16_into(np.ascontiguousarray(plan.ni[sel]), ref16, D,
+                              cap_mapq, stacked_h[1, :b0], meta_h[4, :b0],
                               meta_h[6, :b0])
-        meta_h[0, :b0] = plan.d_t[s:e]
-        meta_h[1, :b0] = plan.d_n[s:e]
+        meta_h[0, :b0] = plan.d_t[sel]
+        meta_h[1, :b0] = plan.d_n[sel]
         meta_h[2, :b0] = ref16
         mesh = data_mesh()
         if mesh is not None and B % mesh.size != 0:
@@ -611,7 +644,7 @@ def _dispatch_fast_inner(plan, s, e, D, pu_t, pu_n, dtabs, cap_mapq):
     except Exception:
         pass
     batch = PairedBatch(
-        keys=plan.keys[s:e], ref16=ref16,
+        keys=plan.keys[sel], ref16=ref16,
         tumor=stacked_h[0], normal=stacked_h[1],
         n_tumor=d_t, n_normal=d_n,
         nk_tumor=nk_t, nk_normal=nk_n,
