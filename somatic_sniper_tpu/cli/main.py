@@ -365,11 +365,12 @@ def _run(args, params, header_fn, record_fn, hdata) -> int:
         with run_stats.maybe_profile():
             with open(args.output, "w") as fh:
                 header_fn(fh, hdata)
-                for rec in call_pair(
+                for line in call_pair(
                     args.tumor_bam, args.normal_bam, args.ref,
                     params=params, precision=args.precision,
+                    fmt=args.format,
                 ):
-                    record_fn(fh, rec)
+                    fh.write(line)
         if args.stats or run_stats.enabled():
             print(run_stats.STATS.summary(), file=sys.stderr)
         return 0
@@ -388,15 +389,14 @@ def _run(args, params, header_fn, record_fn, hdata) -> int:
             fh.truncate()
         else:
             header_fn(fh, hdata)
-        for wi, _win, records in call_pair_windows(
+        for wi, _win, lines in call_pair_windows(
             args.tumor_bam, args.normal_bam, args.ref,
             params=params, precision=args.precision,
             window_size=args.window_size,
             shards=args.shards, shard_index=args.shard_index,
-            skip_windows=skip,
+            skip_windows=skip, fmt=args.format,
         ):
-            for rec in records:
-                record_fn(fh, rec)
+            fh.writelines(lines)
             fh.flush()
             if manifest:
                 manifest.mark(wi, fh.tell())

@@ -114,25 +114,34 @@ def get_dqstats_batch(pu, col_idx, rb4, wanted) -> list[DqStats]:
     of K python loops — emitted-site formatting was a visible fraction
     of end-to-end runtime at WGS scale.
     """
+    rows = get_dqstats_rows(pu, col_idx, rb4, wanted)
+    # one bulk tolist(), then cheap python-list slicing per record
+    # (numpy row views + int() per field were ~3x slower here)
+    return [
+        DqStats(
+            mean_baseq=r[0:4],
+            mean_mapq=r[4:8],
+            base_occ=r[8:12],
+            dp4=r[12:16],
+            total_depth=r[16],
+            total_mean_mapq=r[17],
+        )
+        for r in rows.tolist()
+    ]
+
+
+def get_dqstats_rows(pu, col_idx, rb4, wanted) -> np.ndarray:
+    """[K, 18] int rows: mean_baseq[4] | mean_mapq[4] | base_occ[4] |
+    dp4[4] | total_depth | total_mean_mapq — the raw layout of the
+    native ``pileup_dqstats``, shared by the object wrapper above and
+    the bulk text-emission path (which never builds DqStats objects)."""
     col_idx = np.asarray(col_idx, np.int64)
     K = len(col_idx)
     if K == 0:
-        return []
+        return np.empty((0, 18), np.int64)
     native_rows = _native_dqstats(pu, col_idx, rb4, wanted)
     if native_rows is not None:
-        # one bulk tolist(), then cheap python-list slicing per record
-        # (numpy row views + int() per field were ~3x slower here)
-        return [
-            DqStats(
-                mean_baseq=r[0:4],
-                mean_mapq=r[4:8],
-                base_occ=r[8:12],
-                dp4=r[12:16],
-                total_depth=r[16],
-                total_mean_mapq=r[17],
-            )
-            for r in native_rows.tolist()
-        ]
+        return native_rows
     starts = pu.offsets[col_idx]
     counts = (pu.offsets[col_idx + 1] - starts).astype(np.int64)
     total = int(counts.sum())
@@ -197,18 +206,7 @@ def get_dqstats_batch(pu, col_idx, rb4, wanted) -> list[DqStats]:
         0,
     )
 
-    out = []
-    for k in range(K):
-        # numpy row views, not .tolist(): formatters only index/str these,
-        # and materializing 4 python lists per record was measurable
-        out.append(
-            DqStats(
-                mean_baseq=mean_bq[k],
-                mean_mapq=mean_mq[k],
-                base_occ=occ[k],
-                dp4=dp4[k],
-                total_depth=int(depth[k]),
-                total_mean_mapq=int(tot_mean[k]),
-            )
-        )
-    return out
+    return np.concatenate(
+        [mean_bq, mean_mq, occ, dp4, depth[:, None], tot_mean[:, None]],
+        axis=1,
+    )

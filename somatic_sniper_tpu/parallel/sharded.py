@@ -122,6 +122,7 @@ def call_pair_windows(
     shards: int = 1,
     shard_index: int | None = None,
     skip_windows: set[int] | None = None,
+    fmt: str | None = None,
 ) -> Iterator[tuple[int, tuple[int, int, int], list[SniperRecord]]]:
     """Yield (window_index, window, records) per genome window.
 
@@ -219,7 +220,7 @@ def call_pair_windows(
                                                          ref_blob):
                 records = exact_records_native(
                     pu_t, pu_n, tabs, ref_blob, ref_off, refcache,
-                    prefilter,
+                    prefilter, fmt=fmt,
                 )
                 pending = None
             elif can_plan(pu_t, pu_n, packed16):
@@ -239,7 +240,8 @@ def call_pair_windows(
                 )
             if pending is not None:
                 records = collect_pending(
-                    pending, pu_t, pu_n, refcache, dtabs, precision
+                    pending, pu_t, pu_n, refcache, dtabs, precision,
+                    fmt=fmt,
                 )
         yield wi, (tid, beg, end), [r for _, r in records]
     ex.shutdown(wait=True)

@@ -280,8 +280,14 @@ def call_pair(
     precision: str = "exact",
     max_batch: int = 65536,
     prefilter: bool = True,
+    fmt: str | None = None,
 ) -> Iterator[SniperRecord]:
-    """Run the full caller, yielding emitted records in coordinate order."""
+    """Run the full caller, yielding emitted records in coordinate order.
+
+    With ``fmt`` ("classic"/"vcf"/"bed") set, yields the formatted output
+    LINES instead of SniperRecord objects — the bulk text-emission path
+    (output.fast_emit), byte-identical to formatting the records but
+    ~3x cheaper at WGS emit rates."""
     with _exact_cpu_ctx(precision):
         fasta = FastaFile(ref_fasta) if ref_fasta else None
         tabs = build_tables(params)
@@ -316,7 +322,8 @@ def call_pair(
         # all-host exact path: plan + full scoring in the native layer
         if precision == "exact" and can_exact_native(pu_t, pu_n, ref_blob):
             records = exact_records_native(
-                pu_t, pu_n, tabs, ref_blob, ref_off, refcache, prefilter
+                pu_t, pu_n, tabs, ref_blob, ref_off, refcache, prefilter,
+                fmt=fmt,
             )
             for _, rec in records:
                 yield rec
@@ -344,7 +351,7 @@ def call_pair(
                 drop_t, drop_n, packed16, ref16_fn, params.cap_mapq,
             )
         records = collect_pending(
-            pending, pu_t, pu_n, refcache, dtabs, precision
+            pending, pu_t, pu_n, refcache, dtabs, precision, fmt=fmt
         )
     for _, rec in records:
         yield rec
@@ -404,7 +411,8 @@ class _PlanBatch(NamedTuple):
 
 
 def exact_records_native(
-    pu_t, pu_n, tabs, ref_blob, ref_off, refcache, prefilter: bool
+    pu_t, pu_n, tabs, ref_blob, ref_off, refcache, prefilter: bool,
+    fmt: str | None = None,
 ) -> list[tuple[int, SniperRecord]]:
     """Exact mode entirely on the native layer: fused plan (intersect +
     prefilter + exact dual-consensus gate) then full per-column scoring
@@ -440,6 +448,7 @@ def exact_records_native(
         records = emit_records_compact(
             _PlanBatch(keys=np.asarray(plan.keys, np.int64)), rows, None,
             np.asarray(plan.ref16, np.int64), pu_t, pu_n, refcache,
+            fmt=fmt,
         )
     records.sort(key=lambda kv: kv[0])
     STATS.add("records_emitted", len(records))
@@ -654,7 +663,7 @@ def _dispatch_fast_inner(plan, s, e, D, pu_t, pu_n, dtabs, cap_mapq,
 
 
 def collect_pending(
-    pending, pu_t, pu_n, refcache, dtabs, precision
+    pending, pu_t, pu_n, refcache, dtabs, precision, fmt: str | None = None
 ) -> list[tuple[int, SniperRecord]]:
     """Fetch compacted results and build records, sorted by column key."""
     records: list[tuple[int, SniperRecord]] = []
@@ -708,14 +717,14 @@ def collect_pending(
             res = CallResult(*(v[:b0] for v in host))
             records.extend(
                 emit_records(batch, res, chars, ref16, pu_t, pu_n,
-                             refcache)
+                             refcache, fmt=fmt)
             )
             continue
         rows = rows_full[:count]
         with STATS.timer("emit"):
             records.extend(
                 emit_records_compact(batch, rows, chars, ref16, pu_t, pu_n,
-                                     refcache)
+                                     refcache, fmt=fmt)
             )
     records.sort(key=lambda kv: kv[0])
     STATS.add("records_emitted", len(records))
@@ -851,6 +860,7 @@ def emit_records(
     pu_t: ColumnarPileup,
     pu_n: ColumnarPileup,
     refcache: RefCache,
+    fmt: str | None = None,
 ) -> list[tuple[int, SniperRecord]]:
     emit = np.asarray(res.emit)
     idx = np.nonzero(emit)[0]
@@ -858,7 +868,7 @@ def emit_records(
         return []
     f = {k: np.asarray(v)[idx] for k, v in res._asdict().items()}
     return _build_records(batch, idx, f, chars, ref16, pu_t, pu_n,
-                          refcache)
+                          refcache, fmt)
 
 
 def emit_records_compact(
@@ -869,6 +879,7 @@ def emit_records_compact(
     pu_t: ColumnarPileup,
     pu_n: ColumnarPileup,
     refcache: RefCache,
+    fmt: str | None = None,
 ) -> list[tuple[int, SniperRecord]]:
     """emit_records over a device-compacted [count, 1+NF] row matrix."""
     if len(rows) == 0:
@@ -876,7 +887,7 @@ def emit_records_compact(
     idx = rows[:, 0].astype(np.int64)
     f = {name: rows[:, 1 + j] for j, name in enumerate(COMPACT_FIELDS)}
     return _build_records(batch, idx, f, chars, ref16, pu_t, pu_n,
-                          refcache)
+                          refcache, fmt)
 
 
 def _build_records(
@@ -888,6 +899,7 @@ def _build_records(
     pu_t: ColumnarPileup,
     pu_n: ColumnarPileup,
     refcache: RefCache,
+    fmt: str | None = None,
 ) -> list[tuple[int, SniperRecord]]:
     header = refcache.header
     keys = batch.keys[idx]
@@ -900,6 +912,22 @@ def _build_records(
     wanted = rb4 | f["tumor_eff_gt"] | f["normal_eff_gt"]
     ci_t = np.searchsorted(pu_t.ukeys, keys)
     ci_n = np.searchsorted(pu_n.ukeys, keys)
+    if fmt is not None:
+        # bulk text path: raw dqstats rows + one-pass line builders
+        # (output.fast_emit) — no DqStats/SampleData/SniperRecord
+        # objects, same bytes
+        from .output.dqstats import get_dqstats_rows
+        from .output.fast_emit import LINE_BUILDERS
+
+        rows_t = get_dqstats_rows(pu_t, ci_t, rb4, wanted).tolist()
+        rows_n = get_dqstats_rows(pu_n, ci_n, rb4, wanted).tolist()
+        fl = {k: np.asarray(v).tolist() for k, v in f.items()}
+        names_l = [header.ref_names[t] for t in tids.tolist()]
+        lines = LINE_BUILDERS[fmt](
+            names_l, poss.tolist(), chars_emit.tolist(), rb4.tolist(),
+            fl, rows_t, rows_n,
+        )
+        return list(zip(keys.tolist(), lines))
     dq_t = get_dqstats_batch(pu_t, ci_t, rb4, wanted)
     dq_n = get_dqstats_batch(pu_n, ci_n, rb4, wanted)
 
