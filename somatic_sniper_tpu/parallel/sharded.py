@@ -209,6 +209,23 @@ def call_pair_windows(
     inflight: list = [
         _submit_load(w) for _, w in todo[:LOOKAHEAD]
     ]
+
+    # Collect is deferred by one window: window W's device results are
+    # fetched only after window W+1 has been loaded and dispatched, so
+    # the device execution + tunnel round-trip run entirely under the
+    # next window's host work instead of on the critical path.  Yields
+    # stay in window order (a deferred window is always flushed before
+    # anything newer).
+    deferred = None  # (wi, win, pu_t, pu_n, pending)
+
+    def _collect(d):
+        wi, win, pu_t, pu_n, pending = d
+        with _exact_cpu_ctx(precision):
+            records = collect_pending(
+                pending, pu_t, pu_n, refcache, dtabs, precision, fmt=fmt,
+            )
+        return wi, win, [r for _, r in records]
+
     for i, (wi, (tid, beg, end)) in enumerate(todo):
         f_t, f_n = inflight.pop(0)
         pu_t, pu_n = f_t.result(), f_n.result()
@@ -238,12 +255,15 @@ def call_pair_windows(
                     pu_t, pu_n, refcache, dtabs, precision, max_batch,
                     drop_t, drop_n, packed16, ref16_fn, params.cap_mapq,
                 )
-            if pending is not None:
-                records = collect_pending(
-                    pending, pu_t, pu_n, refcache, dtabs, precision,
-                    fmt=fmt,
-                )
-        yield wi, (tid, beg, end), [r for _, r in records]
+        if deferred is not None:
+            yield _collect(deferred)
+            deferred = None
+        if pending is None:
+            yield wi, (tid, beg, end), [r for _, r in records]
+        else:
+            deferred = (wi, (tid, beg, end), pu_t, pu_n, pending)
+    if deferred is not None:
+        yield _collect(deferred)
     ex.shutdown(wait=True)
 
 

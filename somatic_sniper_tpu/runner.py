@@ -487,9 +487,39 @@ def submit_batches_planned(
     STATS.add("columns_scored", len(plan.keys))
     pending = []
     nb = len(DEPTH_BUCKETS)
+    # Shallow (D <= COMBINE_MAX) in-bucket columns ship as ONE dispatch
+    # at the deepest bucket any of them needs: on a tunneled device each
+    # dispatch/fetch pays a fixed round-trip (and each distinct shape a
+    # per-process executable load), while the extra zero padding costs
+    # only idle device cycles and asynchronous upload bytes.  The
+    # kernels mask by n_keep, so a shallow column scored at a deeper
+    # pad is bit-identical.  Deeper buckets (rare columns) keep their
+    # own dispatch so one 1000x column can't balloon the whole window's
+    # upload.
+    COMBINE_MAX = 128
+    g_comb = [
+        g for g in range(nb)
+        if DEPTH_BUCKETS[g] <= COMBINE_MAX
+        and int(plan.group_off[g + 1]) > int(plan.group_off[g])
+    ]
+    if g_comb:
+        lo = int(plan.group_off[g_comb[0]])
+        hi = int(plan.group_off[g_comb[-1] + 1])
+        D = DEPTH_BUCKETS[g_comb[-1]]
+        # bound per-dispatch slot volume (u16, per sample) the same way
+        # the oversize path does, on top of the row cap
+        step = min(max_batch, max(256, (4 << 20) // D))
+        for s in range(lo, hi, step):
+            e = min(s + step, hi)
+            pending.append(
+                _dispatch_fast(plan, s, e, D, pu_t, pu_n, dtabs,
+                               cap_mapq)
+            )
     for g in range(nb + 1):
         lo, hi = int(plan.group_off[g]), int(plan.group_off[g + 1])
         if g < nb:
+            if g_comb and g <= g_comb[-1]:
+                continue  # combined above
             D = DEPTH_BUCKETS[g]
             for s in range(lo, hi, max_batch):
                 e = min(s + max_batch, hi)
@@ -587,11 +617,13 @@ def _dispatch_fast_inner(plan, s, e, D, pu_t, pu_n, dtabs, cap_mapq,
             # device scores its slab (the Pallas accumulate runs under
             # shard_map, the rest under GSPMD), XLA gathers the
             # compacted rows.
-            stacked = _shard_batch(stacked_h, mesh, 1)
-            meta = _shard_batch(meta_h, mesh, 1)
+            with STATS.timer("pad+dispatch.upload"):
+                stacked = _shard_batch(stacked_h, mesh, 1)
+                meta = _shard_batch(meta_h, mesh, 1)
         else:
-            stacked = jnp.asarray(stacked_h)
-            meta = jnp.asarray(meta_h)
+            with STATS.timer("pad+dispatch.upload"):
+                stacked = jnp.asarray(stacked_h)
+                meta = jnp.asarray(meta_h)
         res = call_batch_packed(
             stacked, meta, dtabs.fk, dtabs.coef, dtabs.lhet,
             dtabs.solo_prior, dtabs.joint_prior, dtabs.qadd,
@@ -676,18 +708,20 @@ def collect_pending(
     # drops most of the result-download bytes.
     with STATS.timer("device"):
         total_rows = sum(p[3].rows.shape[0] for p in pending)
-        if total_rows * 4 * 17 <= (1 << 20):
+        if total_rows * 4 * 17 <= (4 << 20):
             # small result buffers: one round-trip for everything beats
             # the two-phase sliced fetch
-            fetched = jax.device_get(
-                [(p[3].count, p[3].rows) for p in pending]
-            )
+            with STATS.timer("device.rows"):
+                fetched = jax.device_get(
+                    [(p[3].count, p[3].rows) for p in pending]
+                )
             counts = [c for c, _ in fetched]
             slices = [r for _, r in fetched]
             live_rows = iter(slices)
             slices = [True] * len(pending)
         else:
-            counts = jax.device_get([p[3].count for p in pending])
+            with STATS.timer("device.counts"):
+                counts = jax.device_get([p[3].count for p in pending])
             slices = []
             for p, cnt in zip(pending, counts):
                 c = int(cnt)
@@ -697,7 +731,8 @@ def collect_pending(
                 else:
                     slices.append(p[3].rows[: _emit_bucket(c, K)])
             live = [s for s in slices if s is not None]
-            live_rows = iter(jax.device_get(live) if live else [])
+            with STATS.timer("device.rows"):
+                live_rows = iter(jax.device_get(live) if live else [])
     for (batch, chars, ref16, dev_res, b0), cnt, sl in zip(
         pending, counts, slices
     ):
@@ -919,8 +954,9 @@ def _build_records(
         from .output.dqstats import get_dqstats_rows
         from .output.fast_emit import LINE_BUILDERS
 
-        rows_t = get_dqstats_rows(pu_t, ci_t, rb4, wanted).tolist()
-        rows_n = get_dqstats_rows(pu_n, ci_n, rb4, wanted).tolist()
+        with STATS.timer("emit.dqstats"):
+            rows_t = get_dqstats_rows(pu_t, ci_t, rb4, wanted).tolist()
+            rows_n = get_dqstats_rows(pu_n, ci_n, rb4, wanted).tolist()
         fl = {k: np.asarray(v).tolist() for k, v in f.items()}
         names_l = [header.ref_names[t] for t in tids.tolist()]
         lines = LINE_BUILDERS[fmt](
