@@ -60,8 +60,12 @@ def load_indel_filter(path: str, min_indel_score: float) -> set:
             chrom, pos, ind_id, indel_seq, score = (
                 f[0], f[1], f[2], f[3], f[5]
             )
+            try:
+                score_v = float(score)
+            except ValueError:
+                score_v = 0.0  # perl numifies junk to 0 (with a warning)
             if ind_id != "*" or indel_seq == "*/*" or \
-                    float(score) < min_indel_score:
+                    score_v < min_indel_score:
                 continue
             sites.add((chrom, int(pos)))
     return sites

@@ -78,6 +78,58 @@ def test_snpfilter(sniper_outputs, tmp_path, kind, extra):
     _diff(tmp_path / "p.lq", tmp_path / "q.lq")
 
 
+def _fake_indel_file(src: Path, kind: str, out: Path, seed=11):
+    """Samtools-pileup-style indel lines around the call sites: a mix of
+    filtering triggers (near hits at various offsets) and lines the
+    loader must skip (id != '*', '*/*' consensus, sub-threshold or junk
+    scores) — exercising snpfilter.pl:85-95."""
+    rng = np.random.default_rng(seed)
+    lines = []
+    i = 0
+    for raw in src.read_text().splitlines():
+        if raw.startswith("#"):
+            continue
+        f = raw.split("\t")
+        chrom, pos = f[0], int(f[1])
+        i += 1
+        off = int(rng.integers(-15, 16))
+        score = int(rng.integers(0, 200))
+        if i % 5 == 0:
+            # consensus line (id is a base, not '*') — must be ignored
+            lines.append(f"{chrom}\t{pos + off}\tA\t+AC/+AC\t30\t{score}"
+                         f"\t60\t12\tjunk")
+        elif i % 5 == 1:
+            lines.append(f"{chrom}\t{pos + off}\t*\t*/*\t30\t{score}"
+                         f"\t60\t12\tx")  # '*/*' — ignored
+        elif i % 5 == 2:
+            lines.append(f"{chrom}\t{pos + off}\t*\t+AG/*\t30\tnoscore"
+                         f"\t60\t12\tx")  # junk score: perl numifies to 0
+        else:
+            lines.append(f"{chrom}\t{pos + off}\t*\t-C/-C\t30\t{score}"
+                         f"\t60\t12\tx")
+    out.write_text("\n".join(lines) + "\n")
+
+
+@pytest.mark.parametrize("kind", ["classic", "vcf", "big_classic"])
+@pytest.mark.parametrize("extra", [[], ["--min-indel-score", "20",
+                                        "--indel-win-size", "3"]])
+def test_snpfilter_indel_branch(sniper_outputs, tmp_path, kind, extra):
+    src = sniper_outputs[kind]
+    indels = tmp_path / "indels.pileup"
+    _fake_indel_file(src, kind, indels)
+    common = ["--snp-file", str(src), "--indel-file", str(indels),
+              "--min-mapping-quality", "0", "--min-read-depth", "1", *extra]
+    _run_perl("snpfilter.pl",
+              [*common, "--out-file", str(tmp_path / "p.out"),
+               "--lq-output", str(tmp_path / "p.lq")], tmp_path)
+    snpfilter.main(
+        [*common, "--out-file", str(tmp_path / "q.out"),
+         "--lq-output", str(tmp_path / "q.lq")]
+    )
+    _diff(tmp_path / "p.out", tmp_path / "q.out")
+    _diff(tmp_path / "p.lq", tmp_path / "q.lq")
+
+
 @pytest.mark.parametrize("kind", ["classic", "vcf", "big_classic"])
 def test_highconfidence(sniper_outputs, tmp_path, kind):
     src = sniper_outputs[kind]
