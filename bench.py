@@ -2,14 +2,29 @@
 """End-to-end throughput benchmark: pileup columns/sec through the full
 caller (BAM decode -> native pileup -> device kernel -> emitted records).
 
-Prints one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints one JSON line whose headline fields keep the original contract:
+
+  {"metric": "pileup_columns_per_sec", "value": N, "unit": "columns/s",
+   "vs_baseline": N, ...}
+
+plus per-mode numbers so device-path regressions can't hide behind a
+best-of (exact = all-host bit-identical scoring; fast = the TPU device
+path):
+
+  exact_cols_per_sec / fast_cols_per_sec          -- 200 kb pair
+  exact_10mb_cols_per_sec / fast_10mb_cols_per_sec -- 10 Mb windowed
+  device_busy_frac_10mb   -- device wait fraction of the fast 10 Mb wall
+  device_cols_per_sec     -- scored columns / device-phase seconds
 
 The baseline is the reference C implementation (bam-somaticsniper) on the
 same synthetic 2x200kb 30x tumor/normal pair.  If a reference binary is
 present at $SNIPER_REF_BIN or /tmp/ref/bam-somaticsniper it is timed live
 on this host; otherwise the recorded measurement from BASELINE.md
 (~130k columns/s on the dev host, single thread) is used.
+
+All device phases run in one bounded subprocess: on a tunneled device
+the per-process executable loads can stall for minutes, and a hung
+device must not sink the whole benchmark (exact numbers still print).
 """
 
 from __future__ import annotations
@@ -38,6 +53,19 @@ def ensure_data() -> Path:
     simulate_pair(d, SimConfig(n_contigs=2, contig_len=200_000,
                                mean_depth=30.0, seed=7))
     _write_fai(d / "ref.fa")
+    return d
+
+
+def ensure_data_10mb() -> Path:
+    d = BENCH_DIR / "pair_10mb"
+    if (d / "ref.fa.fai").exists():
+        return d
+    print("bench: generating 10 Mb pair (one-time)...", file=sys.stderr)
+    from somatic_sniper_tpu.utils.simulate import (SimConfig,
+                                                   simulate_pair_fast)
+
+    simulate_pair_fast(d, SimConfig(n_contigs=2, contig_len=5_000_000,
+                                    mean_depth=30.0, seed=11))
     return d
 
 
@@ -86,32 +114,61 @@ def _time_mode(d: Path, mode: str, reps: int = 6) -> float:
     return best
 
 
-def time_ours(d: Path) -> float:
-    # exact: bit-identical output, all-host native scoring;
-    # fast: the TPU device path (f32 batched kernel).  Report the best —
-    # both modes' calls match the reference, exact to the byte.  The
-    # fast phase runs in a bounded subprocess: on a tunneled device the
-    # first compile/upload can stall for minutes, and a hung device
-    # must not sink the whole benchmark.
-    best = _time_mode(d, "exact")
-    if os.environ.get("SNIPER_BENCH_FAST", "1") != "0":
-        code = (
-            "import bench, sys; from pathlib import Path; "
-            f"print(bench._time_mode(Path({str(d)!r}), 'fast'))"
+def _time_mode_windows(d: Path, mode: str, reps: int = 2) -> dict:
+    """Windowed-driver wall + stage stats at the 10 Mb scale."""
+    from somatic_sniper_tpu.parallel.sharded import call_pair_windows
+    from somatic_sniper_tpu.utils.stats import STATS
+
+    args = (str(d / "tumor.bam"), str(d / "normal.bam"),
+            str(d / "ref.fa"))
+
+    def once():
+        t0 = time.time()
+        n = sum(1 for _ in call_pair_windows(*args, precision=mode,
+                                             fmt="vcf"))
+        return time.time() - t0, n
+
+    once()  # warm-up
+    best, device_s, scored = float("inf"), 0.0, 0
+    for _ in range(reps):
+        s0 = STATS.snapshot() if hasattr(STATS, "snapshot") else None
+        t, _n = once()
+        if t < best:
+            best = t
+            if s0 is not None:
+                s1 = STATS.snapshot()
+                device_s = s1.get("device", 0.0) - s0.get("device", 0.0)
+                scored = int(s1.get("columns_scored", 0)
+                             - s0.get("columns_scored", 0))
+    print(f"bench: {mode} 10mb best wall {best:.2f}s", file=sys.stderr)
+    return {"wall": best, "device_s": device_s, "scored": scored}
+
+
+def time_fast_phases(d200: Path, d10: Path) -> dict:
+    """All device-path timings in one bounded subprocess."""
+    code = (
+        "import bench, json, os, sys; from pathlib import Path; "
+        "os.environ['SNIPER_STATS']='1'; "
+        f"w200 = bench._time_mode(Path({str(d200)!r}), 'fast'); "
+        f"w10 = bench._time_mode_windows(Path({str(d10)!r}), 'fast'); "
+        "print('FASTJSON ' + json.dumps({'w200': w200, **w10}))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True,
+            timeout=int(os.environ.get("SNIPER_BENCH_FAST_TIMEOUT", "900")),
+            cwd=str(Path(__file__).resolve().parent),
         )
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", code],
-                capture_output=True, text=True, timeout=300,
-                cwd=str(Path(__file__).resolve().parent),
-            )
-            if r.returncode == 0:
-                best = min(best, float(r.stdout.strip().split()[-1]))
-            print(r.stderr, file=sys.stderr, end="")
-        except subprocess.TimeoutExpired:
-            print("bench: fast mode skipped (device stalled >300s)",
-                  file=sys.stderr)
-    return best
+        print(r.stderr, file=sys.stderr, end="")
+        if r.returncode == 0:
+            for line in r.stdout.splitlines():
+                if line.startswith("FASTJSON "):
+                    return json.loads(line[len("FASTJSON "):])
+    except subprocess.TimeoutExpired:
+        print("bench: fast phases skipped (device stalled)",
+              file=sys.stderr)
+    return {}
 
 
 def time_reference(d: Path) -> float | None:
@@ -144,21 +201,47 @@ def main() -> None:
         pass
 
     d = ensure_data()
+    d10 = ensure_data_10mb()
     n_cols = count_columns(d)
-    wall = time_ours(d)
-    cols_per_sec = n_cols / wall
+    n_cols_10 = count_columns(d10)
 
+    exact_wall = _time_mode(d, "exact")
+    exact10 = _time_mode_windows(d10, "exact")
+
+    fast = {}
+    if os.environ.get("SNIPER_BENCH_FAST", "1") != "0":
+        fast = time_fast_phases(d, d10)
+
+    exact_cps = n_cols / exact_wall
+    fast_cps = n_cols / fast["w200"] if fast.get("w200") else None
+    exact10_cps = n_cols_10 / exact10["wall"]
+    fast10_cps = n_cols_10 / fast["wall"] if fast.get("wall") else None
+
+    best = max(exact_cps, fast_cps or 0.0)
     ref_wall = time_reference(d)
-    if ref_wall is not None:
-        ref_cps = n_cols / ref_wall
-    else:
-        ref_cps = RECORDED_REF_COLS_PER_SEC
-    print(json.dumps({
+    ref_cps = (n_cols / ref_wall) if ref_wall is not None \
+        else RECORDED_REF_COLS_PER_SEC
+
+    out = {
         "metric": "pileup_columns_per_sec",
-        "value": round(cols_per_sec, 1),
+        "value": round(best, 1),
         "unit": "columns/s",
-        "vs_baseline": round(cols_per_sec / ref_cps, 3),
-    }))
+        "vs_baseline": round(best / ref_cps, 3),
+        "exact_cols_per_sec": round(exact_cps, 1),
+        "fast_cols_per_sec": round(fast_cps, 1) if fast_cps else None,
+        "exact_10mb_cols_per_sec": round(exact10_cps, 1),
+        "fast_10mb_cols_per_sec": round(fast10_cps, 1) if fast10_cps
+        else None,
+    }
+    if fast.get("wall"):
+        out["device_busy_frac_10mb"] = round(
+            fast.get("device_s", 0.0) / fast["wall"], 3
+        )
+        if fast.get("device_s"):
+            out["device_cols_per_sec"] = round(
+                fast.get("scored", 0) / fast["device_s"], 1
+            )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

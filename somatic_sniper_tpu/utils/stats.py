@@ -58,6 +58,14 @@ class RunStats:
             self.calls.clear()
             self.counts.clear()
 
+    def snapshot(self) -> dict:
+        """Point-in-time {stage: seconds} ∪ {counter: count} copy, for
+        differential measurements (bench.py's device-phase split)."""
+        with self._lock:
+            out: dict = dict(self.seconds)
+            out.update(self.counts)
+            return out
+
     def summary(self) -> str:
         lines = ["[sniper-tpu stats]"]
         total = sum(self.seconds.values())

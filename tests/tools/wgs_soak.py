@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""WGS-scale soak for the windowed streaming driver.
+
+Runs the CLI over a large (default 100 Mb) synthetic 30x pair with
+--jobs 2, sampling the process tree's RSS throughout, then a
+single-process run, and checks:
+
+  * the two outputs are byte-identical (modulo ##fileDate/##reference)
+  * RSS stays flat across the run (streaming, not genome-proportional):
+    the median of the last third of samples must be < 1.5x the median
+    of samples taken after the first 20% of the run
+
+Prints columns/s for both runs.  Usage:
+
+    python tests/tools/wgs_soak.py [pair_dir] [--keep]
+
+The pair is generated with utils.simulate.simulate_pair_fast if absent.
+"""
+
+import os
+import re
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+FILTER = re.compile(rb"##fileDate|##reference=")
+
+
+def ensure_pair(d: Path, contig_len: int) -> None:
+    if (d / "ref.fa.fai").exists():
+        return
+    from somatic_sniper_tpu.utils.simulate import (SimConfig,
+                                                   simulate_pair_fast)
+
+    print(f"generating {2 * contig_len / 1e6:.0f} Mb pair at {d} ...",
+          flush=True)
+    simulate_pair_fast(d, SimConfig(n_contigs=2, contig_len=contig_len,
+                                    mean_depth=30.0, seed=11))
+
+
+def _tree_rss_kb(pid: int) -> int:
+    """RSS of pid + descendants, from /proc (no psutil dependency)."""
+    total = 0
+    pids = [pid]
+    try:
+        children = {}
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                stat = Path(f"/proc/{p}/stat").read_text().split()
+                children.setdefault(int(stat[3]), []).append(int(p))
+            except OSError:
+                continue
+        while pids:
+            q = pids.pop()
+            try:
+                for line in Path(f"/proc/{q}/status").read_text().splitlines():
+                    if line.startswith("VmRSS:"):
+                        total += int(line.split()[1])
+                        break
+            except OSError:
+                continue
+            pids.extend(children.get(q, []))
+    except OSError:
+        pass
+    return total
+
+
+def run_sampled(cmd: list[str]) -> tuple[float, list[int]]:
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    t0 = time.time()
+    proc = subprocess.Popen(cmd, env=env, stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    samples = []
+    while proc.poll() is None:
+        samples.append(_tree_rss_kb(proc.pid))
+        time.sleep(2)
+    if proc.returncode != 0:
+        raise SystemExit(f"run failed rc={proc.returncode}: {cmd}")
+    return time.time() - t0, samples
+
+
+def filtered_bytes(path: Path) -> bytes:
+    return b"\n".join(
+        ln for ln in path.read_bytes().split(b"\n") if not FILTER.search(ln)
+    )
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    d = Path(args[0]) if args else Path("/tmp/sniper_tpu_bench/pair_100mb")
+    ensure_pair(d, 50_000_000)
+    genome = sum(
+        int(l.split("\t")[1])
+        for l in (d / "ref.fa.fai").read_text().splitlines()
+    )
+
+    base = [sys.executable, "-m", "somatic_sniper_tpu.cli.main",
+            "-F", "vcf", "-f", str(d / "ref.fa"),
+            str(d / "tumor.bam"), str(d / "normal.bam")]
+    out2 = d / "out.jobs2.vcf"
+    out1 = d / "out.jobs1.vcf"
+
+    wall2, rss2 = run_sampled(base[:-1] + ["--jobs", "2",
+                                           base[-1], str(out2)])
+    print(f"--jobs 2: {wall2:.1f}s  ({genome / wall2 / 1e6:.2f}M cols/s)  "
+          f"peak RSS {max(rss2) / 1e6:.2f} GB", flush=True)
+
+    wall1, rss1 = run_sampled(base[:-1] + [base[-1], str(out1)])
+    print(f"single  : {wall1:.1f}s  ({genome / wall1 / 1e6:.2f}M cols/s)  "
+          f"peak RSS {max(rss1) / 1e6:.2f} GB", flush=True)
+
+    assert filtered_bytes(out1) == filtered_bytes(out2), \
+        "--jobs 2 merge differs from single-process output"
+    print("outputs byte-identical", flush=True)
+
+    for label, rss in (("jobs2", rss2), ("single", rss1)):
+        body = rss[max(2, len(rss) // 5):]
+        if len(body) >= 6:
+            early = sorted(body[: len(body) // 3])
+            late = sorted(body[-len(body) // 3:])
+            m_early = early[len(early) // 2]
+            m_late = late[len(late) // 2]
+            assert m_late < 1.5 * m_early + 2e5, (
+                f"{label}: RSS grows {m_early} -> {m_late} kB"
+            )
+            print(f"{label}: RSS flat ({m_early / 1e6:.2f} -> "
+                  f"{m_late / 1e6:.2f} GB median)", flush=True)
+
+    if "--keep" not in sys.argv:
+        out1.unlink()
+        out2.unlink()
+    print("SOAK PASS")
+
+
+if __name__ == "__main__":
+    main()
