@@ -318,6 +318,18 @@ def main(argv=None) -> int:
     print(f"Normal bam is {args.normal_bam}", file=sys.stderr)
     print(f"Tumor bam is {args.tumor_bam}", file=sys.stderr)
 
+    # header @RG parse parity (reference main.c:132,135 calls
+    # sam_header_parse_rg on both headers, tumor first): the ID->LB
+    # maps are built — with the same missing-tag stderr warnings — but,
+    # exactly as in the reference, nothing downstream consumes them
+    try:
+        from ..io.bam import read_bam_header
+
+        read_bam_header(args.tumor_bam).parse_rg()
+        read_bam_header(args.normal_bam).parse_rg()
+    except (OSError, ValueError):
+        pass  # unreadable inputs produce their real error downstream
+
     header_fn, record_fn = get_formatter(args.format)
     hdata = HeaderData(
         refseq=args.ref,

@@ -13,6 +13,7 @@ same scan at memory bandwidth.  All field extraction is vectorized numpy.
 from __future__ import annotations
 
 import struct
+import sys
 from dataclasses import dataclass
 from pathlib import Path
 from typing import NamedTuple
@@ -39,6 +40,58 @@ class BamHeader:
                     if field.startswith("SM:"):
                         return field[3:]
         return None
+
+    def parse_rg(self) -> dict[str, str] | None:
+        """@RG ID -> LB map, replicating samtools-0.1.6
+        sam_header_parse_rg (vendored bam_import.c:173-227), which the
+        reference driver calls on both headers (main.c:132,135) even
+        though nothing downstream consumes the result.  Its quirks are
+        kept: '@RG' is matched anywhere in the text (not just at line
+        starts); the ID:/LB: values are found by plain substring search
+        after it, even when that lands on a later line; a missing ID or
+        LB tag aborts the whole scan; a pair commits only when the next
+        '@RG' (or the end of text) is reached; returns None when no
+        pair parsed."""
+        text = self.text
+        if len(text) < 3:
+            return None
+        out: dict[str, str] = {}
+        rgid = rglib = ""
+
+        def _value(start: int) -> tuple[str, int]:
+            e = start
+            while e < len(text) and text[e] not in "\t\r\n":
+                e += 1
+            return text[start:e], e
+
+        s = 0
+        while True:
+            i = text.find("@RG", s)
+            if i == -1:
+                break
+            if rgid and rglib:
+                out[rgid] = rglib
+            rgid = rglib = ""
+            s = i + 3
+            r = s
+            p = text.find("ID:", s)
+            if p == -1:
+                print("[bam_header_parse] missing ID tag in @RG lines.",
+                      file=sys.stderr)
+                break
+            rgid, e = _value(p + 3)
+            r = max(r, e)
+            p = text.find("LB:", s)
+            if p == -1:
+                print("[bam_header_parse] missing LB tag in @RG lines.",
+                      file=sys.stderr)
+                break
+            rglib, e = _value(p + 3)
+            r = max(r, e)
+            s = r + 3
+        if rgid and rglib:
+            out[rgid] = rglib
+        return out or None
 
 
 class BamReads(NamedTuple):
