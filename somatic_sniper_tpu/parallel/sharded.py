@@ -87,10 +87,19 @@ class _QuirkCarry:
         else:
             return -1
         plen = self.header.ref_lengths[p]
+        # Backward scan in DISJOINT, escalating spans: each BGZF region
+        # is decoded at most once (worst case = one pass over the
+        # contig, vs the old overlapping escalation that re-decoded the
+        # tail each round).  A span's result may be a read that merely
+        # overlaps it (start < span begin), so a candidate is only final
+        # once it is >= the current span's begin — an earlier span can
+        # no longer hold a later start.
+        best = -1
+        hi = plen
         look = 1 << 15
-        while True:
-            beg_p = max(0, plen - look)
-            chunks = bai.region_chunks(self.index, p, beg_p, plen)
+        while hi > 0:
+            beg_p = max(0, hi - look)
+            chunks = bai.region_chunks(self.index, p, beg_p, hi)
             if chunks:
                 ch = np.ascontiguousarray(
                     np.asarray(chunks, np.int64).reshape(-1, 2)
@@ -100,14 +109,16 @@ class _QuirkCarry:
                 last = lib.region_last_kept_start(
                     self.path.encode(),
                     ch.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                    len(ch), p, beg_p, plen,
+                    len(ch), p, beg_p, hi,
                     self.flag_mask, self.mapq_thresh, 2,
                 )
-                if last >= 0:
-                    return int(last)
-            if beg_p == 0:
-                return -1
+                if last > best:
+                    best = int(last)
+                if best >= beg_p:
+                    return best
+            hi = beg_p
             look *= 4
+        return best
 
 
 def call_pair_windows(
