@@ -135,6 +135,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "manual --shards/--shard-index + merge_shards "
                         "workflow; the reference scaled only by running "
                         "one process per chromosome externally)")
+    p.add_argument("--merge", default="files",
+                   choices=("files", "collective"),
+                   help="multi-process record merge: 'files' writes one "
+                        "output per process for scripts.merge_shards; "
+                        "'collective' all-gathers shard bytes over the "
+                        "accelerator fabric (XLA all_gather, no shared "
+                        "filesystem needed) and process 0 writes the "
+                        "merged output [files]")
     p.add_argument("--window-size", type=int, default=1_000_000,
                    help="genome window length for the region-sharded "
                         "streaming driver [1000000]")
@@ -176,6 +184,7 @@ def _maybe_init_distributed(args) -> None:
     if args.shards == 1 and args.shard_index is None:
         args.shards = num
         args.shard_index = pid
+    args._dist = (num, pid)
 
 
 def _run_jobs(args) -> int:
@@ -342,6 +351,21 @@ def main(argv=None) -> int:
                   file=sys.stderr)
             return 1
         return _run_jobs(args)
+    dist = getattr(args, "_dist", None)
+    if dist is not None and args.merge == "collective":
+        num, pid = dist
+        real_out = args.output
+        args.output = f"{real_out}.shard{pid}"
+        try:
+            rc = _run(args, params, header_fn, record_fn, hdata)
+        except (OSError, ValueError) as e:
+            print(f"bam-somaticsniper-tpu: {e}", file=sys.stderr)
+            return 1
+        if rc == 0:
+            from ..parallel.collective import collective_merge
+
+            collective_merge(real_out, args.output, pid, num)
+        return rc
     try:
         return _run(args, params, header_fn, record_fn, hdata)
     except (OSError, ValueError) as e:

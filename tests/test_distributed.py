@@ -32,10 +32,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_matches_golden(data_dir, tmp_path):
-    d = data_dir / "e2e" / "sim1"
+def _spawn_workers(d, outs, extra_args=()):
     port = _free_port()
-    outs = [tmp_path / f"shard{i}.vcf" for i in range(2)]
     procs = []
     for i in range(2):
         env = dict(
@@ -48,7 +46,7 @@ def test_two_process_distributed_matches_golden(data_dir, tmp_path):
         )
         procs.append(subprocess.Popen(
             [sys.executable, "-m", "somatic_sniper_tpu.cli.main",
-             "-F", "vcf", "--precision", "fast",
+             "-F", "vcf", "--precision", "fast", *extra_args,
              "-f", str(d / "ref.fa"),
              str(d / "tumor.bam"), str(d / "normal.bam"), str(outs[i])],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
@@ -65,6 +63,12 @@ def test_two_process_distributed_matches_golden(data_dir, tmp_path):
         errs.append(err)
     assert all(p.returncode == 0 for p in procs), "\n---\n".join(errs)
 
+
+def test_two_process_distributed_matches_golden(data_dir, tmp_path):
+    d = data_dir / "e2e" / "sim1"
+    outs = [tmp_path / f"shard{i}.vcf" for i in range(2)]
+    _spawn_workers(d, outs)
+
     merged = tmp_path / "merged.vcf"
     merge(str(merged), [str(o) for o in outs])
     assert _filtered(merged) == _filtered(d / "expected.vcf")
@@ -74,4 +78,22 @@ def test_two_process_distributed_matches_golden(data_dir, tmp_path):
     n0 = sum(1 for ln in _filtered(outs[0]) if not ln.startswith("#"))
     n1 = sum(1 for ln in _filtered(outs[1]) if not ln.startswith("#"))
     n = sum(1 for ln in _filtered(merged) if not ln.startswith("#"))
+    assert n0 + n1 == n and n0 > 0 and n1 > 0
+
+
+def test_two_process_collective_merge(data_dir, tmp_path):
+    """--merge collective: shard bytes ride an XLA all_gather; process 0
+    writes the merged output itself (no shared-filesystem merge step).
+    Bytes must equal the golden, like the file-based path."""
+    d = data_dir / "e2e" / "sim1"
+    out = tmp_path / "merged.vcf"
+    _spawn_workers(d, [out, out], extra_args=("--merge", "collective"))
+
+    assert _filtered(out) == _filtered(d / "expected.vcf")
+    # per-process shard files exist and are strict subsets
+    n0 = sum(1 for ln in _filtered(tmp_path / "merged.vcf.shard0")
+             if not ln.startswith("#"))
+    n1 = sum(1 for ln in _filtered(tmp_path / "merged.vcf.shard1")
+             if not ln.startswith("#"))
+    n = sum(1 for ln in _filtered(out) if not ln.startswith("#"))
     assert n0 + n1 == n and n0 > 0 and n1 > 0
