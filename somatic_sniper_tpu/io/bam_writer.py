@@ -14,8 +14,8 @@ from ..constants import NT16_TABLE
 from .bgzf import BGZF_EOF
 
 
-def _bgzf_block(payload: bytes) -> bytes:
-    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+def _bgzf_block(payload: bytes, level: int = 6) -> bytes:
+    co = zlib.compressobj(level, zlib.DEFLATED, -15)
     comp = co.compress(payload) + co.flush()
     # BC subfield stores (total block length - 1):
     # header(18) + comp + crc(4) + isize(4) - 1
@@ -34,10 +34,20 @@ def _bgzf_block(payload: bytes) -> bytes:
     )
 
 
-def bgzf_compress(data: bytes, block_size: int = 0xFF00) -> bytes:
-    out = []
-    for i in range(0, len(data), block_size):
-        out.append(_bgzf_block(data[i : i + block_size]))
+def bgzf_compress(data: bytes, block_size: int = 0xFF00, level: int = 6,
+                  threads: int = 1) -> bytes:
+    spans = range(0, len(data), block_size)
+    if threads > 1 and len(data) > (8 << 20):
+        # BGZF blocks are independent; zlib releases the GIL
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=threads) as ex:
+            out = list(ex.map(
+                lambda i: _bgzf_block(data[i : i + block_size], level),
+                spans, chunksize=64,
+            ))
+    else:
+        out = [_bgzf_block(data[i : i + block_size], level) for i in spans]
     out.append(BGZF_EOF)
     return b"".join(out)
 
@@ -162,6 +172,8 @@ def write_bam(
     ref_lengths: list[int],
     records: list[bytes] | bytes,
     text: str | None = None,
+    level: int = 6,
+    threads: int = 1,
 ) -> None:
     if text is None:
         text = "".join(
@@ -174,4 +186,4 @@ def write_bam(
         nb = n.encode() + b"\x00"
         out += struct.pack("<i", len(nb)) + nb + struct.pack("<i", l)
     out += records if isinstance(records, bytes) else b"".join(records)
-    Path(path).write_bytes(bgzf_compress(out))
+    Path(path).write_bytes(bgzf_compress(out, level=level, threads=threads))

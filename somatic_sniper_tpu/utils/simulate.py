@@ -260,35 +260,48 @@ def simulate_pair_fast(outdir: str | Path, cfg: SimConfig = SimConfig()):
     from ..io.bam_writer import encode_records_fixed
 
     def make(sample_v, seed):
+        # Chunked over reads: the monolithic [n, R] temporaries (f64
+        # random draws, int gpos) peaked at tens of GB on WGS-scale
+        # contigs and thrashed the page cache; 2M-read chunks keep the
+        # working set ~1 GB with identical output structure.
         srng = np.random.default_rng(seed)
         blobs = []
         rid0 = 0
+        CHUNK = 2_000_000
+        arange_r = np.arange(R, dtype=np.int32)
         for ci, nm in enumerate(names):
             n = int(cfg.mean_depth * L / R)
             starts = np.sort(srng.integers(0, L - R, n))
             ref = refs_u8[nm]
-            gpos = starts[:, None] + np.arange(R)[None, :]
-            seq = ref[gpos].copy()
             vmask, valt, vvaf = sample_v[ci]
-            hit = vmask[gpos] & (srng.random((n, R)) < vvaf[gpos])
-            seq[hit] = valt[gpos][hit]
-            err = srng.random((n, R)) < cfg.error_rate
-            seq[err] = base_arr[srng.integers(0, 4, int(err.sum()))]
-            quals = srng.integers(
-                cfg.baseq_lo, cfg.baseq_hi + 1, (n, R)
-            ).astype(np.uint8)
-            flags = np.where(
-                srng.random(n) < 0.5, BAM_FREVERSE, 0
-            ).astype(np.uint16)
-            blobs.append(encode_records_fixed(
-                ci, starts, np.full(n, 60, np.uint8), flags,
-                NT16_TABLE[seq], quals, R, rid0=rid0,
-            ))
-            rid0 += n
+            vvaf32 = vvaf.astype(np.float32)
+            for s0 in range(0, n, CHUNK):
+                st = starts[s0 : s0 + CHUNK]
+                m = len(st)
+                gpos = st.astype(np.int32)[:, None] + arange_r[None, :]
+                seq = ref[gpos].copy()
+                hit = vmask[gpos] & (
+                    srng.random((m, R), dtype=np.float32) < vvaf32[gpos]
+                )
+                seq[hit] = valt[gpos][hit]
+                err = srng.random((m, R), dtype=np.float32) < cfg.error_rate
+                seq[err] = base_arr[srng.integers(0, 4, int(err.sum()))]
+                quals = srng.integers(
+                    cfg.baseq_lo, cfg.baseq_hi + 1, (m, R)
+                ).astype(np.uint8)
+                flags = np.where(
+                    srng.random(m) < 0.5, BAM_FREVERSE, 0
+                ).astype(np.uint16)
+                blobs.append(encode_records_fixed(
+                    ci, st, np.full(m, 60, np.uint8), flags,
+                    NT16_TABLE[seq], quals, R, rid0=rid0,
+                ))
+                rid0 += m
         return b"".join(blobs)
 
+    # bench data: fastest BGZF level, block-parallel compression
     write_bam(outdir / "tumor.bam", names, lengths,
-              make(tumor_v, cfg.seed + 1))
+              make(tumor_v, cfg.seed + 1), level=1, threads=2)
     write_bam(outdir / "normal.bam", names, lengths,
-              make(normal_v, cfg.seed + 2))
+              make(normal_v, cfg.seed + 2), level=1, threads=2)
     return outdir
