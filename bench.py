@@ -144,6 +144,21 @@ def _time_mode_windows(d: Path, mode: str, reps: int = 2) -> dict:
     return {"wall": best, "device_s": device_s, "scored": scored}
 
 
+def device_preflight(timeout_s: int = 90) -> bool:
+    """One tiny jit round-trip in a bounded subprocess: a hung tunnel
+    must fail here in seconds, not eat the fast-phase budget."""
+    code = (
+        "import jax, jax.numpy as jnp; "
+        "print(float(jax.jit(lambda x: x.sum())(jnp.ones((8, 8)))))"
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout_s)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def time_fast_phases(d200: Path, d10: Path) -> dict:
     """All device-path timings in one bounded subprocess."""
     code = (
@@ -209,8 +224,14 @@ def main() -> None:
     exact10 = _time_mode_windows(d10, "exact")
 
     fast = {}
+    device_unavailable = False
     if os.environ.get("SNIPER_BENCH_FAST", "1") != "0":
-        fast = time_fast_phases(d, d10)
+        if device_preflight():
+            fast = time_fast_phases(d, d10)
+        else:
+            device_unavailable = True
+            print("bench: device preflight failed (tunnel down?) — "
+                  "fast phases skipped", file=sys.stderr)
 
     exact_cps = n_cols / exact_wall
     fast_cps = n_cols / fast["w200"] if fast.get("w200") else None
@@ -233,6 +254,8 @@ def main() -> None:
         "fast_10mb_cols_per_sec": round(fast10_cps, 1) if fast10_cps
         else None,
     }
+    if device_unavailable:
+        out["device_unavailable"] = True
     if fast.get("wall"):
         out["device_busy_frac_10mb"] = round(
             fast.get("device_s", 0.0) / fast["wall"], 3

@@ -224,12 +224,18 @@ def simulate_pair_fast(outdir: str | Path, cfg: SimConfig = SimConfig()):
     base_arr = np.frombuffer(b"ACGT", np.uint8)
     refs_u8 = {}
     fa = []
+    fai = []
+    offset = 0
     for nm in names:
         r = base_arr[rng.integers(0, 4, L)]
         refs_u8[nm] = r
         fa.append(f">{nm}".encode())
         fa.extend(r[i : i + 60].tobytes() for i in range(0, L, 60))
+        offset += len(nm) + 2  # ">" + name + "\n"
+        fai.append(f"{nm}\t{L}\t{offset}\t60\t61")
+        offset += L + (L + 59) // 60  # sequence bytes + newlines
     (outdir / "ref.fa").write_bytes(b"\n".join(fa) + b"\n")
+    (outdir / "ref.fa.fai").write_text("\n".join(fai) + "\n")
 
     # vectorized variant truth
     truth_rows = []

@@ -99,6 +99,16 @@ def main() -> None:
         for l in (d / "ref.fa.fai").read_text().splitlines()
     )
 
+    # one-time .bai builds up front: both timed runs need them and the
+    # first would otherwise pay (and its workers would build them
+    # concurrently, doubling peak RSS)
+    from somatic_sniper_tpu.io import bai
+
+    for b in ("tumor.bam", "normal.bam"):
+        t0 = time.time()
+        bai.ensure_index(str(d / b))
+        print(f"index {b}: {time.time() - t0:.1f}s", flush=True)
+
     base = [sys.executable, "-m", "somatic_sniper_tpu.cli.main",
             "-F", "vcf", "-f", str(d / "ref.fa"),
             str(d / "tumor.bam"), str(d / "normal.bam")]
