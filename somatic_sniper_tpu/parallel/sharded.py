@@ -168,8 +168,18 @@ def call_pair_windows(
     ref_blob, ref_off = _ref_blob(fasta, header)
     packed16 = precision == "fast" and ref_blob is not None
     ref16_fn = _make_ref16_fn(ref_blob, ref_off) if packed16 else None
-    with _exact_cpu_ctx(precision):
-        dtabs = get_device_tables(params, precision)
+
+    # DeviceTables only exist once a window actually dispatches to the
+    # device: the all-native exact path never does, so a pure-exact run
+    # skips the 16-32 MiB coef conversion/upload entirely (and, on a
+    # tunneled accelerator, never blocks on a stalled device link).
+    _dtabs: list = []
+
+    def dtabs():
+        if not _dtabs:
+            with _exact_cpu_ctx(precision):
+                _dtabs.append(get_device_tables(params, precision))
+        return _dtabs[0]
 
     carry_t = _QuirkCarry(tumor_bam, idx_t, header,
                           params.flag_mask, params.mapq_threshold)
@@ -233,7 +243,7 @@ def call_pair_windows(
         wi, win, pu_t, pu_n, pending = d
         with _exact_cpu_ctx(precision):
             records = collect_pending(
-                pending, pu_t, pu_n, refcache, dtabs, precision, fmt=fmt,
+                pending, pu_t, pu_n, refcache, dtabs(), precision, fmt=fmt,
             )
         return wi, win, [r for _, r in records]
 
@@ -253,7 +263,7 @@ def call_pair_windows(
                 pending = None
             elif can_plan(pu_t, pu_n, packed16):
                 pending = submit_batches_planned(
-                    pu_t, pu_n, dtabs, max_batch, tabs, ref_blob, ref_off,
+                    pu_t, pu_n, dtabs(), max_batch, tabs, ref_blob, ref_off,
                     params.cap_mapq, prefilter,
                 )
             else:
@@ -263,7 +273,7 @@ def call_pair_windows(
                         pu_t, pu_n, ref_blob, ref_off, tabs
                     )
                 pending = submit_batches(
-                    pu_t, pu_n, refcache, dtabs, precision, max_batch,
+                    pu_t, pu_n, refcache, dtabs(), precision, max_batch,
                     drop_t, drop_n, packed16, ref16_fn, params.cap_mapq,
                 )
         if deferred is not None:
