@@ -144,6 +144,9 @@ def get_device_tables(params: ModelParams, precision: str) -> "DeviceTables":
     key = (params, precision)
     dt = _DEVICE_TABLES_CACHE.get(key)
     if dt is None:
+        from .utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
         dt = DeviceTables(build_tables(params), precision)
         _DEVICE_TABLES_CACHE[key] = dt
     return dt
