@@ -697,6 +697,40 @@ def _dispatch_fast_inner(plan, s, e, D, pu_t, pu_n, dtabs, cap_mapq,
     return (batch, None, ref16, res, b0)
 
 
+def _device_get_watched(tree, what: str):
+    """``jax.device_get`` with a periodic stall warning.
+
+    Tunneled accelerator links (axon) stall for minutes at a time; a
+    silent blocking fetch is indistinguishable from a hang to the user.
+    Warn on stderr every ``SNIPER_DEVICE_WARN_SECS`` (default 60, 0
+    disables) while the fetch is outstanding — the run resumes when the
+    link recovers."""
+    warn_s = float(os.environ.get("SNIPER_DEVICE_WARN_SECS", "60"))
+    if warn_s <= 0:
+        return jax.device_get(tree)
+    import threading
+
+    done = threading.Event()
+
+    def _warn():
+        waited = warn_s
+        while not done.wait(warn_s):
+            print(
+                f"somatic_sniper_tpu: device fetch ({what}) still "
+                f"outstanding after {waited:.0f}s — the accelerator "
+                "link may be stalled; waiting for it to recover",
+                file=sys.stderr, flush=True,
+            )
+            waited += warn_s
+
+    t = threading.Thread(target=_warn, daemon=True)
+    t.start()
+    try:
+        return jax.device_get(tree)
+    finally:
+        done.set()
+
+
 def collect_pending(
     pending, pu_t, pu_n, refcache, dtabs, precision, fmt: str | None = None
 ) -> list[tuple[int, SniperRecord]]:
@@ -715,8 +749,9 @@ def collect_pending(
             # small result buffers: one round-trip for everything beats
             # the two-phase sliced fetch
             with STATS.timer("device.rows"):
-                fetched = jax.device_get(
-                    [(p[3].count, p[3].rows) for p in pending]
+                fetched = _device_get_watched(
+                    [(p[3].count, p[3].rows) for p in pending],
+                    "counts+rows",
                 )
             counts = [c for c, _ in fetched]
             slices = [r for _, r in fetched]
@@ -724,7 +759,9 @@ def collect_pending(
             slices = [True] * len(pending)
         else:
             with STATS.timer("device.counts"):
-                counts = jax.device_get([p[3].count for p in pending])
+                counts = _device_get_watched(
+                    [p[3].count for p in pending], "counts"
+                )
             slices = []
             for p, cnt in zip(pending, counts):
                 c = int(cnt)
@@ -735,7 +772,9 @@ def collect_pending(
                     slices.append(p[3].rows[: _emit_bucket(c, K)])
             live = [s for s in slices if s is not None]
             with STATS.timer("device.rows"):
-                live_rows = iter(jax.device_get(live) if live else [])
+                live_rows = iter(
+                    _device_get_watched(live, "rows") if live else []
+                )
     for (batch, chars, ref16, dev_res, b0), cnt, sl in zip(
         pending, counts, slices
     ):
