@@ -252,13 +252,12 @@ def main(argv=None) -> int:
         # start — multi-process CPU runs would otherwise all race for
         # the same accelerator
         jax.config.update("jax_platforms", plat)
-    try:  # persistent compile cache: cold starts reuse prior kernels
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
-        )
-    except Exception:
-        pass
+    # persistent compile cache: cold starts reuse prior kernels
+    # (tunneled-TPU executable builds cost 17-110 s each, steady-state
+    # calls ~30 ms — see utils/compile_cache.py)
+    from ..utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     if args.precision == "exact":
         # the exact path replicates the reference's double-precision
         # arithmetic and requires x64-enabled JAX
