@@ -146,6 +146,7 @@ def call_pair_windows(
         can_plan,
         exact_records_native,
         get_device_tables,
+        make_plan,
         _exact_cpu_ctx,
         _make_ref16_fn,
         _prefilter_flags,
@@ -153,8 +154,8 @@ def call_pair_windows(
         _ref_blob,
         collect_pending,
         submit_batches,
-        submit_batches_planned,
     )
+    from .slab import SlabDispatcher
 
     header = read_bam_header(tumor_bam)
     idx_t = bai.ensure_index(tumor_bam)
@@ -231,12 +232,15 @@ def call_pair_windows(
         _submit_load(w) for _, w in todo[:LOOKAHEAD]
     ]
 
-    # Collect is deferred by one window: window W's device results are
-    # fetched only after window W+1 has been loaded and dispatched, so
-    # the device execution + tunnel round-trip run entirely under the
-    # next window's host work instead of on the critical path.  Yields
-    # stay in window order (a deferred window is always flushed before
-    # anything newer).
+    # Collect is deferred: a window's device results are fetched only
+    # after later windows have been loaded and dispatched, so device
+    # execution + tunnel round-trips run entirely under subsequent host
+    # work instead of on the critical path.  The fast path does this
+    # with the cross-window uniform-slab dispatcher (parallel.slab);
+    # the legacy fallback keeps the one-window deferred pending list.
+    # Yields stay in window order in all modes (a deferred window is
+    # always flushed before anything newer).
+    slab_disp = None
     deferred = None  # (wi, win, pu_t, pu_n, pending)
 
     def _collect(d):
@@ -253,6 +257,22 @@ def call_pair_windows(
         j = i + LOOKAHEAD
         if j < len(todo):
             inflight.append(_submit_load(todo[j][1]))
+        if can_plan(pu_t, pu_n, packed16) and not (
+            precision == "exact" and can_exact_native(pu_t, pu_n, ref_blob)
+        ):
+            # fast device path: windows feed the shared slab dispatcher
+            if deferred is not None:  # mode-mix ordering guard
+                yield _collect(deferred)
+                deferred = None
+            if slab_disp is None:
+                slab_disp = SlabDispatcher(
+                    dtabs, tabs, params, refcache, fmt=fmt,
+                )
+            plan = make_plan(pu_t, pu_n, tabs, ref_blob, ref_off,
+                             prefilter)
+            slab_disp.add_window(wi, (tid, beg, end), pu_t, pu_n, plan)
+            yield from slab_disp.ready()
+            continue
         with _exact_cpu_ctx(precision):
             if precision == "exact" and can_exact_native(pu_t, pu_n,
                                                          ref_blob):
@@ -261,11 +281,6 @@ def call_pair_windows(
                     prefilter, fmt=fmt,
                 )
                 pending = None
-            elif can_plan(pu_t, pu_n, packed16):
-                pending = submit_batches_planned(
-                    pu_t, pu_n, dtabs(), max_batch, tabs, ref_blob, ref_off,
-                    params.cap_mapq, prefilter,
-                )
             else:
                 drop_t = drop_n = None
                 if prefilter:
@@ -276,6 +291,9 @@ def call_pair_windows(
                     pu_t, pu_n, refcache, dtabs(), precision, max_batch,
                     drop_t, drop_n, packed16, ref16_fn, params.cap_mapq,
                 )
+        if slab_disp is not None:  # mode-mix ordering guard
+            yield from slab_disp.finish()
+            slab_disp = None
         if deferred is not None:
             yield _collect(deferred)
             deferred = None
@@ -283,6 +301,8 @@ def call_pair_windows(
             yield wi, (tid, beg, end), [r for _, r in records]
         else:
             deferred = (wi, (tid, beg, end), pu_t, pu_n, pending)
+    if slab_disp is not None:
+        yield from slab_disp.finish()
     if deferred is not None:
         yield _collect(deferred)
     ex.shutdown(wait=True)

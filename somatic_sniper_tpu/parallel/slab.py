@@ -1,0 +1,345 @@
+"""Uniform-slab device dispatch: one executable shape for a whole run.
+
+The round-2 fast path dispatched each window's plan survivors in
+per-depth-bucket batches: a dozen distinct ``(B, D)`` shapes per run,
+each a few thousand columns.  On a tunneled accelerator that design is
+wrong twice over — every distinct shape pays a per-process executable
+build/load (measured 17 s .. 300 s on the dev host's TPU link, and it
+is the FIRST EXECUTION that pays it, not the trace), and every small
+dispatch pays the ~22 ms link round-trip — so >98% of the device phase
+was link overhead (BENCH_r02: 50k cols/s through a kernel measured at
+3.45M cols/s).
+
+This module inverts the shape economy.  The whole run uses exactly ONE
+compiled shape:
+
+* a canonical slab ``(2, B, D) u16`` + ``(3, B) int32`` metadata, with
+  ``B`` fixed (default 32768) and ``D`` chosen once per run from the
+  first planned window's survivor-depth distribution;
+* slabs are filled with plan-survivor columns ACROSS window boundaries
+  (the round-2 design never merged dispatches across windows) and always
+  dispatched full-size — padding a partial slab costs ~13 ms of upload
+  at the measured link bandwidth (~600 MB/s), i.e. nothing, while a
+  second shape would cost minutes;
+* columns deeper than ``D`` (rare: beyond p99.5 at normal coverage) are
+  scored HOST-SIDE by the native exact scorer (io.native_api
+  .exact_pair_rows).  Exact values trivially satisfy the fast-mode
+  output contract (same calls, phred within the f32 quantization), and
+  this removes every deep/oversize device shape from the run;
+* results are fetched whole (count + full rows buffer, ~2 MB) — a
+  device-side ``rows[:k]`` slice would compile one executable per
+  length bucket, which is exactly the disease being cured.
+
+Collect is deferred (``in_flight`` slabs ride the link while the host
+plans/pads the next windows), and windows are yielded in order as soon
+as every slab they contributed to has been collected.
+
+The reference has no analog of any of this (single-threaded callback
+loop, reference sniper_pileup.c:226-266); the contract it inherits is
+output equality: record content is independent of slab packing, so
+window/shard/slab boundaries never change output bytes (enforced by
+tests/test_sharded.py and tests/test_slab.py).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import deque
+from typing import NamedTuple
+
+import numpy as np
+
+from ..utils.stats import STATS
+
+# Allowed slab depths: a coarse ladder so that nearby datasets (e.g. the
+# 200 kb and 10 Mb bench pairs, both 30x) land on the SAME shape and
+# share one executable within a process.
+ALLOWED_D = (16, 32, 64, 128)
+DEFAULT_B = 32768
+# fraction of survivor columns the slab depth must cover; the remainder
+# is scored host-side (exact), so this trades upload padding against
+# host math on the tail
+COVER_TARGET = 0.995
+
+
+def slab_b() -> int:
+    try:
+        return int(os.environ.get("SNIPER_SLAB_B", DEFAULT_B))
+    except ValueError:
+        return DEFAULT_B
+
+
+def choose_d(dmax: np.ndarray) -> int | None:
+    """Smallest allowed depth covering COVER_TARGET of the columns."""
+    if len(dmax) == 0:
+        return None
+    override = os.environ.get("SNIPER_SLAB_D")
+    if override:
+        try:
+            return int(override)
+        except ValueError:
+            pass
+    q = int(np.quantile(dmax, COVER_TARGET, method="lower"))
+    for d in ALLOWED_D:
+        if q <= d:
+            return d
+    return ALLOWED_D[-1]
+
+
+class _Seg(NamedTuple):
+    """One window's contiguous span of rows inside a slab."""
+
+    ws: "_WindowState"
+    keys: np.ndarray    # int64 [n] column keys
+    ref16: np.ndarray   # int32 [n]
+    start: int          # row range [start, end) inside the slab
+    end: int
+
+
+class _Slab(NamedTuple):
+    segs: list
+    res: object         # CompactResult (on device)
+    fill: int           # rows actually used
+
+
+class _WindowState:
+    __slots__ = ("wi", "win", "pu_t", "pu_n", "outstanding", "records")
+
+    def __init__(self, wi, win, pu_t, pu_n):
+        self.wi = wi
+        self.win = win
+        self.pu_t = pu_t
+        self.pu_n = pu_n
+        self.outstanding = 0          # slabs (incl. the open one) pending
+        self.records: list = []       # (key, record) accumulated
+
+
+class SlabDispatcher:
+    """Cross-window uniform-slab dispatcher for the fast device path.
+
+    ``dtabs_fn`` is a zero-arg callable returning DeviceTables (lazy so
+    a run that never dispatches — all windows empty — never uploads the
+    coef table).  ``tabs`` are the host f64 tables for the deep-column
+    host-side scorer.
+    """
+
+    def __init__(self, dtabs_fn, tabs, params, refcache, fmt=None,
+                 B: int | None = None, in_flight: int = 1,
+                 max_live_windows: int = 8):
+        self.dtabs_fn = dtabs_fn
+        self.tabs = tabs
+        self.params = params
+        self.refcache = refcache
+        self.fmt = fmt
+        self.B = B or slab_b()
+        self.D: int | None = None
+        self.in_flight = in_flight
+        self.max_live = max_live_windows
+        self.order: deque[_WindowState] = deque()
+        self.queue: deque[_Slab] = deque()
+        self.fill = 0
+        self.segs: list[_Seg] = []
+        self.stacked_h = None
+        self.meta_h = None
+
+    # -- filling ---------------------------------------------------------
+
+    def _alloc(self):
+        self.stacked_h = np.zeros((2, self.B, self.D), np.uint16)
+        self.meta_h = np.zeros((3, self.B), np.int32)
+        self.fill = 0
+        self.segs = []
+
+    def add_window(self, wi, win, pu_t, pu_n, plan) -> None:
+        """Assign every plan column of a window: shallow ones into slabs,
+        deep ones to the host-side exact scorer."""
+        ws = _WindowState(wi, win, pu_t, pu_n)
+        self.order.append(ws)
+        n = len(plan.keys)
+        if n:
+            dmax = np.maximum(plan.d_t, plan.d_n)
+            if self.D is None:
+                self.D = choose_d(dmax)
+            deep = np.nonzero(dmax > self.D)[0]
+            shallow = (
+                np.nonzero(dmax <= self.D)[0] if len(deep) else None
+            )
+            if len(deep):
+                self._host_deep(ws, plan, deep)
+            if self.stacked_h is None:
+                self._alloc()
+            pos, total = 0, (n - len(deep))
+            sh = shallow  # None means "all of plan"
+            while pos < total:
+                take = min(self.B - self.fill, total - pos)
+                sel = (
+                    np.arange(pos, pos + take, dtype=np.int64)
+                    if sh is None else np.ascontiguousarray(
+                        sh[pos:pos + take]
+                    )
+                )
+                self._write_part(ws, plan, sel)
+                pos += take
+                if self.fill == self.B:
+                    self._flush()
+        if self.fill and len(self.order) >= self.max_live:
+            # bound held-window memory on sparse data (WGS hom-ref seas
+            # could otherwise pin hundreds of windows under one slab)
+            self._flush()
+        self._pump()
+
+    def _write_part(self, ws, plan, sel) -> None:
+        with STATS.timer("pad+dispatch"):
+            b = len(sel)
+            s, e = self.fill, self.fill + b
+            ref16 = np.ascontiguousarray(plan.ref16[sel])
+            nk_t = np.empty(b, np.int32)
+            nk_n = np.empty(b, np.int32)
+            cap = self.params.cap_mapq
+            ws.pu_t.owner.pad16_into(
+                np.ascontiguousarray(plan.ti[sel]), ref16, self.D, cap,
+                self.stacked_h[0, s:e], nk_t, self.meta_h[0, s:e],
+            )
+            ws.pu_n.owner.pad16_into(
+                np.ascontiguousarray(plan.ni[sel]), ref16, self.D, cap,
+                self.stacked_h[1, s:e], nk_n, self.meta_h[1, s:e],
+            )
+            # bit-packed metadata (models.somatic.call_batch_packed
+            # layout): rms_sum < 255*cap^2 < 2^24 for D <= 255, ref16
+            # rides bits 24-27 of row 0
+            self.meta_h[0, s:e] |= ref16.astype(np.int32) << 24
+            mv = self.meta_h.view(np.uint32)
+            mv[2, s:e] = (
+                plan.d_t[sel].astype(np.uint32)
+                | (plan.d_n[sel].astype(np.uint32) << 8)
+                | (nk_t.view(np.uint32) << 16)
+                | (nk_n.view(np.uint32) << 24)
+            )
+            self.segs.append(
+                _Seg(ws, np.ascontiguousarray(plan.keys[sel]), ref16, s, e)
+            )
+            ws.outstanding += 1
+            self.fill = e
+            STATS.add("device_columns", b)
+
+    def _host_deep(self, ws, plan, deep_idx) -> None:
+        """Deep columns: native exact scoring, no device involvement.
+
+        Exact output satisfies the fast contract by construction; the
+        alternative (per-depth device shapes) costs one executable
+        build/load per shape per process on tunneled links."""
+        from ..io.native_api import exact_pair_rows
+        from ..runner import _PlanBatch, emit_records_compact
+
+        with STATS.timer("host_deep"):
+            sel = np.ascontiguousarray(deep_idx)
+            p = self.params
+            rows = exact_pair_rows(
+                ws.pu_t, ws.pu_n, plan.ti[sel], plan.ni[sel],
+                plan.ref16[sel], self.tabs, p.use_joint_priors,
+                p.min_somatic_qual, p.include_loh, p.include_gor,
+            )
+            STATS.add("host_deep_columns", len(sel))
+            if len(rows):
+                recs = emit_records_compact(
+                    _PlanBatch(keys=np.asarray(plan.keys[sel], np.int64)),
+                    rows, None, np.asarray(plan.ref16[sel], np.int64),
+                    ws.pu_t, ws.pu_n, self.refcache, fmt=self.fmt,
+                )
+                ws.records.extend(recs)
+
+    # -- dispatch / collect ----------------------------------------------
+
+    def _flush(self) -> None:
+        if self.fill == 0:
+            return
+        import jax.numpy as jnp
+
+        from ..models.somatic import call_batch_packed
+        from ..runner import _shard_batch, data_mesh
+
+        dtabs = self.dtabs_fn()
+        p = dtabs.params
+        with STATS.timer("pad+dispatch"):
+            mesh = data_mesh()
+            if mesh is not None and self.B % mesh.size != 0:
+                mesh = None
+            with STATS.timer("pad+dispatch.upload"):
+                if mesh is not None:
+                    stacked = _shard_batch(self.stacked_h, mesh, 1)
+                    meta = _shard_batch(self.meta_h, mesh, 1)
+                else:
+                    stacked = jnp.asarray(self.stacked_h)
+                    meta = jnp.asarray(self.meta_h)
+            res = call_batch_packed(
+                stacked, meta, dtabs.fk, dtabs.coef, dtabs.lhet,
+                dtabs.solo_prior, dtabs.joint_prior, dtabs.qadd,
+                dtabs.q_r_int,
+                use_joint=p.use_joint_priors,
+                min_somatic_qual=p.min_somatic_qual,
+                include_loh=p.include_loh, include_gor=p.include_gor,
+                cap_mapq=p.cap_mapq, theta=p.theta, eta=p.eta,
+                # max_emit == B: no overflow fallback path (a refetch
+                # would need a second executable), every emitted row fits
+                max_emit=self.B, mesh=mesh,
+            )
+            try:
+                res.count.copy_to_host_async()
+            except Exception:
+                pass
+        self.queue.append(_Slab(self.segs, res, self.fill))
+        STATS.add("slabs_dispatched", 1)
+        STATS.add(
+            "device_upload_bytes",
+            self.stacked_h.nbytes + self.meta_h.nbytes,
+        )
+        self._alloc()
+
+    def _pump(self) -> None:
+        while len(self.queue) > self.in_flight:
+            self._collect_one()
+
+    def _collect_one(self) -> None:
+        from ..runner import (_PlanBatch, _device_get_watched,
+                              emit_records_compact)
+
+        slab = self.queue.popleft()
+        with STATS.timer("device"):
+            cnt, rows = _device_get_watched(
+                (slab.res.count, slab.res.rows), "slab"
+            )
+        count = int(cnt)
+        rows = np.asarray(rows)[:count]
+        idx = rows[:, 0]
+        for seg in slab.segs:
+            lo = int(np.searchsorted(idx, seg.start))
+            hi = int(np.searchsorted(idx, seg.end))
+            if hi > lo:
+                sub = rows[lo:hi].copy()
+                sub[:, 0] -= seg.start
+                with STATS.timer("emit"):
+                    recs = emit_records_compact(
+                        _PlanBatch(keys=seg.keys), sub, None,
+                        seg.ref16.astype(np.int64), seg.ws.pu_t,
+                        seg.ws.pu_n, self.refcache, fmt=self.fmt,
+                    )
+                seg.ws.records.extend(recs)
+            seg.ws.outstanding -= 1
+
+    # -- draining ----------------------------------------------------------
+
+    def ready(self):
+        """Yield (wi, win, records) for every completed prefix window."""
+        while self.order and self.order[0].outstanding == 0:
+            ws = self.order.popleft()
+            ws.records.sort(key=lambda kv: kv[0])
+            STATS.add("records_emitted", len(ws.records))
+            yield ws.wi, ws.win, [r for _, r in ws.records]
+
+    def finish(self):
+        """Flush + collect everything; yield all remaining windows."""
+        self._flush()
+        while self.queue:
+            self._collect_one()
+        yield from self.ready()
+        assert not self.order, "slab dispatcher left incomplete windows"

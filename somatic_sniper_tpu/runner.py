@@ -334,25 +334,34 @@ def call_pair(
         # fast path ships compact u16 batches (half the accelerator-link
         # bytes); the exact path needs the full u32 slots
         packed16 = precision == "fast" and ref_blob is not None
-        dtabs = get_device_tables(params, precision)
         if can_plan(pu_t, pu_n, packed16):
-            pending = submit_batches_planned(
-                pu_t, pu_n, dtabs, max_batch, tabs, ref_blob, ref_off,
-                params.cap_mapq, prefilter,
+            # uniform-slab device path: one executable shape for the
+            # whole run (see parallel.slab)
+            from .parallel.slab import SlabDispatcher
+
+            plan = make_plan(pu_t, pu_n, tabs, ref_blob, ref_off,
+                             prefilter)
+            disp = SlabDispatcher(
+                lambda: get_device_tables(params, precision), tabs,
+                params, refcache, fmt=fmt,
             )
-        else:
-            drop_t = drop_n = None
-            if prefilter:
-                drop_t, drop_n = _prefilter_flags(
-                    pu_t, pu_n, ref_blob, ref_off, tabs
-                )
-            ref16_fn = (
-                _make_ref16_fn(ref_blob, ref_off) if packed16 else None
+            disp.add_window(0, None, pu_t, pu_n, plan)
+            for _, _, recs in disp.finish():
+                yield from recs
+            return
+        dtabs = get_device_tables(params, precision)
+        drop_t = drop_n = None
+        if prefilter:
+            drop_t, drop_n = _prefilter_flags(
+                pu_t, pu_n, ref_blob, ref_off, tabs
             )
-            pending = submit_batches(
-                pu_t, pu_n, refcache, dtabs, precision, max_batch,
-                drop_t, drop_n, packed16, ref16_fn, params.cap_mapq,
-            )
+        ref16_fn = (
+            _make_ref16_fn(ref_blob, ref_off) if packed16 else None
+        )
+        pending = submit_batches(
+            pu_t, pu_n, refcache, dtabs, precision, max_batch,
+            drop_t, drop_n, packed16, ref16_fn, params.cap_mapq,
+        )
         records = collect_pending(
             pending, pu_t, pu_n, refcache, dtabs, precision, fmt=fmt
         )
@@ -423,23 +432,9 @@ def exact_records_native(
     JAX exact path (tested), with no device round trip.  The depth
     bucketing the plan produces is irrelevant here; records are sorted
     by coordinate at the end like collect_pending."""
-    from .io.native_api import exact_pair_rows, paired_plan
-    from .pileup.columnize import DEPTH_BUCKETS
-    from .pileup.prefilter import prefilter_tables
+    from .io.native_api import exact_pair_rows
 
-    gmin = None
-    margin = 0.0
-    coef = lhet = None
-    if prefilter:
-        pt = prefilter_tables(tabs)
-        if pt is not None:
-            gmin, margin = pt
-        coef, lhet = tabs.coef, tabs.lhet
-    with STATS.timer("plan"):
-        plan = paired_plan(pu_t, pu_n, ref_blob, ref_off, DEPTH_BUCKETS,
-                           fk=tabs.fk, gmin=gmin, margin=margin,
-                           coef=coef, lhet=lhet, q_r_int=tabs.q_r_int)
-    STATS.add("columns_scored", len(plan.keys))
+    plan = make_plan(pu_t, pu_n, tabs, ref_blob, ref_off, prefilter)
     p = tabs.params
     with STATS.timer("score"):
         rows = exact_pair_rows(
@@ -458,16 +453,13 @@ def exact_records_native(
     return records
 
 
-def submit_batches_planned(
-    pu_t, pu_n, dtabs, max_batch, tabs, ref_blob, ref_off, cap_mapq,
-    prefilter: bool,
-):
-    """Plan + dispatch for the native u16 fast path.
-
-    One native ``paired_plan`` pass fuses the ukey intersection, the
+def make_plan(pu_t, pu_n, tabs, ref_blob, ref_off, prefilter: bool):
+    """One native ``paired_plan`` pass: fused ukey intersection, the
     pure-reference prefilter (both-samples-pure columns never leave the
-    host) and depth-bucket grouping; each group then ships through the
-    zero-extra-copy u16 dispatch."""
+    host), the exact dual-consensus gate (provably output-preserving —
+    it evaluates the SNP gate with the exact f64 model itself) and
+    depth grouping.  Shared by the exact scorer and the slab
+    dispatcher."""
     from .io.native_api import paired_plan
     from .pileup.columnize import DEPTH_BUCKETS
     from .pileup.prefilter import prefilter_tables
@@ -479,222 +471,13 @@ def submit_batches_planned(
         pt = prefilter_tables(tabs)
         if pt is not None:
             gmin, margin = pt
-        # exact dual-consensus tier: provably output-preserving for any
-        # model parameters (it evaluates the SNP gate with the exact f64
-        # model itself), so it is gated only by the prefilter switch
         coef, lhet = tabs.coef, tabs.lhet
     with STATS.timer("plan"):
         plan = paired_plan(pu_t, pu_n, ref_blob, ref_off, DEPTH_BUCKETS,
                            fk=tabs.fk, gmin=gmin, margin=margin,
                            coef=coef, lhet=lhet, q_r_int=tabs.q_r_int)
     STATS.add("columns_scored", len(plan.keys))
-    pending = []
-    nb = len(DEPTH_BUCKETS)
-    # Shallow (D <= COMBINE_MAX) in-bucket columns ship as ONE dispatch
-    # at the deepest bucket any of them needs: on a tunneled device each
-    # dispatch/fetch pays a fixed round-trip (and each distinct shape a
-    # per-process executable load), while the extra zero padding costs
-    # only idle device cycles and asynchronous upload bytes.  The
-    # kernels mask by n_keep, so a shallow column scored at a deeper
-    # pad is bit-identical.  Deeper buckets (rare columns) keep their
-    # own dispatch so one 1000x column can't balloon the whole window's
-    # upload.
-    COMBINE_MAX = 128
-    g_comb = [
-        g for g in range(nb)
-        if DEPTH_BUCKETS[g] <= COMBINE_MAX
-        and int(plan.group_off[g + 1]) > int(plan.group_off[g])
-    ]
-    if g_comb:
-        lo = int(plan.group_off[g_comb[0]])
-        hi = int(plan.group_off[g_comb[-1] + 1])
-        D = DEPTH_BUCKETS[g_comb[-1]]
-        # bound per-dispatch slot volume (u16, per sample) the same way
-        # the oversize path does, on top of the row cap
-        step = min(max_batch, max(256, (4 << 20) // D))
-        for s in range(lo, hi, step):
-            e = min(s + step, hi)
-            pending.append(
-                _dispatch_fast(plan, s, e, D, pu_t, pu_n, dtabs,
-                               cap_mapq)
-            )
-    for g in range(nb + 1):
-        lo, hi = int(plan.group_off[g]), int(plan.group_off[g + 1])
-        if g < nb:
-            if g_comb and g <= g_comb[-1]:
-                continue  # combined above
-            D = DEPTH_BUCKETS[g]
-            for s in range(lo, hi, max_batch):
-                e = min(s + max_batch, hi)
-                pending.append(
-                    _dispatch_fast(plan, s, e, D, pu_t, pu_n, dtabs,
-                                   cap_mapq)
-                )
-        elif hi > lo:
-            # columns deeper than the deepest bucket (amplicons,
-            # centromeric pileups): batch them too.  Sort by depth and
-            # cut greedy chunks, each padded to a 1024-multiple depth —
-            # one dispatch per chunk instead of one per column, and the
-            # batch axis pads to small powers of two instead of 256.
-            dmax = np.maximum(plan.d_t[lo:hi], plan.d_n[lo:hi])
-            order = np.argsort(dmax, kind="stable")
-            sel_all = np.arange(lo, hi)[order]
-            d_sorted = dmax[order]
-            MAX_ELEMS = 4 << 20  # u16 slots per sample per chunk (8 MiB)
-            s = 0
-            while s < len(sel_all):
-                e = s + 1
-                while e < len(sel_all):
-                    Dn = _depth_pad(int(d_sorted[e]))
-                    if (e - s + 1) * Dn > MAX_ELEMS or e - s >= max_batch:
-                        break
-                    e += 1
-                D = _depth_pad(int(d_sorted[e - 1]))
-                pending.append(
-                    _dispatch_fast(plan, s, e, D, pu_t, pu_n, dtabs,
-                                   cap_mapq, sel=sel_all[s:e], b_min=8)
-                )
-                s = e
-    return pending
-
-
-def _depth_pad(d: int, step: int = 1024) -> int:
-    """Oversize-column depth padding: next multiple of ``step`` (bounds
-    XLA compile variety for the rare beyond-the-buckets columns)."""
-    return ((d + step - 1) // step) * step
-
-
-def _dispatch_fast(plan, s, e, D, pu_t, pu_n, dtabs, cap_mapq,
-                   sel=None, b_min=256):
-    """Zero-extra-copy dispatch of plan columns [s, e) at depth D: the
-    padded [2,B,D] slot stack and the [7,B] metadata block are written in
-    place by the native pad16 (no per-sample arrays, no np.stack, no
-    re-pad), then shipped as exactly two uploads.  Reference characters
-    for the handful of emitted records are resolved at collect time.
-
-    ``sel`` (an int index array) overrides the contiguous [s, e) span —
-    the oversize path dispatches depth-sorted chunks; ``b_min`` is the
-    smallest batch-axis padding (small for rare deep chunks)."""
-    with STATS.timer("pad+dispatch"):
-        return _dispatch_fast_inner(plan, s, e, D, pu_t, pu_n, dtabs,
-                                    cap_mapq, sel, b_min)
-
-
-def _dispatch_fast_inner(plan, s, e, D, pu_t, pu_n, dtabs, cap_mapq,
-                         sel=None, b_min=256):
-    p = dtabs.params
-    sel = slice(s, e) if sel is None else np.ascontiguousarray(sel)
-    b0 = (e - s) if isinstance(sel, slice) else len(sel)
-    B = _b_bucket(b0, minimum=b_min)
-    ref16 = np.ascontiguousarray(plan.ref16[sel])
-    stacked_h = np.zeros((2, B, D), np.uint16)
-    if D <= 255:
-        # bit-packed metadata: 12 B/column instead of 28 (the upload
-        # link is the end-to-end bottleneck on tunneled hosts).  Layout
-        # documented on models.somatic.call_batch_packed; rms_sum <
-        # 255*cap^2 < 2^24 whenever D <= 255, so ref16 rides bits 24-27.
-        meta_h = np.zeros((3, B), np.int32)
-        nk_t = np.empty(b0, np.int32)
-        nk_n = np.empty(b0, np.int32)
-        pu_t.owner.pad16_into(np.ascontiguousarray(plan.ti[sel]), ref16, D,
-                              cap_mapq, stacked_h[0, :b0], nk_t,
-                              meta_h[0, :b0])
-        pu_n.owner.pad16_into(np.ascontiguousarray(plan.ni[sel]), ref16, D,
-                              cap_mapq, stacked_h[1, :b0], nk_n,
-                              meta_h[1, :b0])
-        rms_t = meta_h[0, :b0].copy()
-        rms_n = meta_h[1, :b0].copy()
-        meta_h[0, :b0] |= ref16.astype(np.int32) << 24
-        mv = meta_h.view(np.uint32)
-        mv[2, :b0] = (
-            plan.d_t[sel].astype(np.uint32)
-            | (plan.d_n[sel].astype(np.uint32) << 8)
-            | (nk_t.astype(np.uint32) << 16)
-            | (nk_n.astype(np.uint32) << 24)
-        )
-        mesh = data_mesh()
-        if mesh is not None and B % mesh.size != 0:
-            mesh = None
-        if mesh is not None:
-            # multi-chip: shard the batch axis over the data mesh; each
-            # device scores its slab (the Pallas accumulate runs under
-            # shard_map, the rest under GSPMD), XLA gathers the
-            # compacted rows.
-            with STATS.timer("pad+dispatch.upload"):
-                stacked = _shard_batch(stacked_h, mesh, 1)
-                meta = _shard_batch(meta_h, mesh, 1)
-        else:
-            with STATS.timer("pad+dispatch.upload"):
-                stacked = jnp.asarray(stacked_h)
-                meta = jnp.asarray(meta_h)
-        res = call_batch_packed(
-            stacked, meta, dtabs.fk, dtabs.coef, dtabs.lhet,
-            dtabs.solo_prior, dtabs.joint_prior, dtabs.qadd,
-            dtabs.q_r_int,
-            use_joint=p.use_joint_priors,
-            min_somatic_qual=p.min_somatic_qual,
-            include_loh=p.include_loh, include_gor=p.include_gor,
-            cap_mapq=p.cap_mapq, theta=p.theta, eta=p.eta,
-            max_emit=min(B, 16384), mesh=mesh,
-        )
-        d_t = plan.d_t[sel].astype(np.int32)
-        d_n = plan.d_n[sel].astype(np.int32)
-    else:
-        # deep/oversize columns: rms_sum can exceed 24 bits, use the
-        # row-per-field metadata layout
-        meta_h = np.zeros((7, B), np.int32)
-        pu_t.owner.pad16_into(np.ascontiguousarray(plan.ti[sel]), ref16, D,
-                              cap_mapq, stacked_h[0, :b0], meta_h[3, :b0],
-                              meta_h[5, :b0])
-        pu_n.owner.pad16_into(np.ascontiguousarray(plan.ni[sel]), ref16, D,
-                              cap_mapq, stacked_h[1, :b0], meta_h[4, :b0],
-                              meta_h[6, :b0])
-        meta_h[0, :b0] = plan.d_t[sel]
-        meta_h[1, :b0] = plan.d_n[sel]
-        meta_h[2, :b0] = ref16
-        mesh = data_mesh()
-        if mesh is not None and B % mesh.size != 0:
-            mesh = None
-        if mesh is not None:
-            stacked = _shard_batch(stacked_h, mesh, 1)
-            meta = _shard_batch(meta_h, mesh, 1)
-        else:
-            stacked = jnp.asarray(stacked_h)
-            meta = jnp.asarray(meta_h)
-        cb_t = ColumnBatch(slots=stacked[0], depth=meta[0], ref16=meta[2],
-                           n_keep=meta[3], rms_sum=meta[5])
-        cb_n = ColumnBatch(slots=stacked[1], depth=meta[1], ref16=meta[2],
-                           n_keep=meta[4], rms_sum=meta[6])
-        res = call_batch_compact(
-            cb_t, cb_n, dtabs.fk, dtabs.coef, dtabs.lhet,
-            dtabs.solo_prior, dtabs.joint_prior, dtabs.qadd,
-            dtabs.q_r_int, precision="fast",
-            use_joint=p.use_joint_priors,
-            min_somatic_qual=p.min_somatic_qual,
-            include_loh=p.include_loh, include_gor=p.include_gor,
-            cap_mapq=p.cap_mapq, theta=p.theta, eta=p.eta,
-            max_emit=min(B, 16384), mesh=mesh,
-        )
-        d_t = meta_h[0, :b0]
-        d_n = meta_h[1, :b0]
-        nk_t = meta_h[3, :b0]
-        nk_n = meta_h[4, :b0]
-        rms_t = meta_h[5, :b0]
-        rms_n = meta_h[6, :b0]
-    try:
-        # start the tiny count transfer now: by collect time it has
-        # crossed the tunnel, saving one synchronous round-trip
-        res.count.copy_to_host_async()
-    except Exception:
-        pass
-    batch = PairedBatch(
-        keys=plan.keys[sel], ref16=ref16,
-        tumor=stacked_h[0], normal=stacked_h[1],
-        n_tumor=d_t, n_normal=d_n,
-        nk_tumor=nk_t, nk_normal=nk_n,
-        rms_tumor=rms_t, rms_normal=rms_n,
-    )
-    return (batch, None, ref16, res, b0)
+    return plan
 
 
 def _device_get_watched(tree, what: str):
@@ -705,7 +488,10 @@ def _device_get_watched(tree, what: str):
     Warn on stderr every ``SNIPER_DEVICE_WARN_SECS`` (default 60, 0
     disables) while the fetch is outstanding — the run resumes when the
     link recovers."""
-    warn_s = float(os.environ.get("SNIPER_DEVICE_WARN_SECS", "60"))
+    try:
+        warn_s = float(os.environ.get("SNIPER_DEVICE_WARN_SECS", "60"))
+    except ValueError:
+        warn_s = 60.0
     if warn_s <= 0:
         return jax.device_get(tree)
     import threading

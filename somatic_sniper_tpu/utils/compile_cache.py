@@ -41,15 +41,17 @@ def enable_persistent_cache() -> None:
             return  # user/bench already configured one
     except AttributeError:
         return
-    cache = (
-        override
-        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
-        or str(
-            Path(os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache"))
-            / "somatic_sniper_tpu" / "jax"
-        )
-    )
     try:
+        # Path.home() raises in HOME-less environments (cron/containers);
+        # the whole path computation stays inside the guard
+        cache = (
+            override
+            or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+            or str(
+                Path(os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache"))
+                / "somatic_sniper_tpu" / "jax"
+            )
+        )
         Path(cache).mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
     except Exception:

@@ -1,16 +1,19 @@
-"""Beyond-the-buckets (oversize) column handling.
+"""Deep-column handling under the uniform-slab dispatcher.
 
-Columns deeper than DEPTH_BUCKETS[-1] must be dispatched in depth-sorted
-chunks — never one device batch per column — and their records must be
-identical to the normal bucketed path.  The fixtures' depths are forced
-over a shrunken bucket list rather than committing a multi-GB deep BAM.
+Columns deeper than the run's slab depth must be scored host-side by
+the native exact scorer — never dispatched as their own device shapes
+(each distinct shape costs a per-process executable build/load on
+tunneled links) — and their records must be identical to the all-device
+path's.  The fixtures' depths are forced "deep" by pinning a tiny slab
+depth rather than committing a multi-GB deep BAM.
 """
 
 import numpy as np
 import pytest
 
 from somatic_sniper_tpu import runner
-from somatic_sniper_tpu.pileup import columnize
+from somatic_sniper_tpu.parallel import slab
+from somatic_sniper_tpu.utils.stats import STATS
 
 
 def _records(d, **kw):
@@ -21,39 +24,48 @@ def _records(d, **kw):
 
 
 @pytest.mark.parametrize("case", ["sim1", "sim2_deep"])
-def test_oversize_chunks_match_bucketed_output(monkeypatch, data_dir, case):
+def test_deep_columns_host_scored_same_output(monkeypatch, data_dir, case):
     d = data_dir / "e2e" / case
     baseline = _records(d)
 
-    calls = []
-    orig = runner._dispatch_fast
-
-    def spy(plan, s, e, D, *a, **kw):
-        sel = kw.get("sel")
-        calls.append((e - s if sel is None else len(sel), D))
-        return orig(plan, s, e, D, *a, **kw)
-
-    monkeypatch.setattr(runner, "_dispatch_fast", spy)
-    monkeypatch.setattr(columnize, "DEPTH_BUCKETS", (8, 16))
+    # slab depth 16: every 30x column becomes "deep" and must take the
+    # native exact host path, with byte-identical records (exact values
+    # satisfy the fast contract by construction)
+    monkeypatch.setenv("SNIPER_SLAB_D", "16")
+    s0 = STATS.snapshot()
     got = _records(d)
+    s1 = STATS.snapshot()
 
     assert got == baseline
-    # every 30x column beyond depth 16 is oversize now; they must have
-    # been chunked (hundreds of columns per dispatch), not sent 1-by-1
-    oversize = [(b, D) for b, D in calls if D > 16]
-    assert oversize, "expected oversize dispatches with tiny buckets"
-    assert max(b for b, _ in oversize) > 1
-    n_oversize_cols = sum(b for b, _ in oversize)
-    assert len(oversize) <= max(1, n_oversize_cols // 100), (
-        f"oversize dispatch count {len(oversize)} for "
-        f"{n_oversize_cols} columns — still per-column?"
-    )
-    # padded depths are 1024-multiples (compile-variety bound)
-    assert all(D % 1024 == 0 for _, D in oversize)
+    deep = s1.get("host_deep_columns", 0) - s0.get("host_deep_columns", 0)
+    assert deep > 0, "expected host-scored deep columns with D=16"
+    # deep columns must NOT have produced extra device work
+    dev = s1.get("device_columns", 0) - s0.get("device_columns", 0)
+    scored = s1.get("columns_scored", 0) - s0.get("columns_scored", 0)
+    assert dev + deep == scored
 
 
-def test_depth_pad():
-    assert runner._depth_pad(1) == 1024
-    assert runner._depth_pad(1024) == 1024
-    assert runner._depth_pad(1025) == 2048
-    assert runner._depth_pad(9000) == 9216
+def test_mostly_deep_run_host_dominates(monkeypatch, data_dir):
+    """With a degenerate slab depth nearly every column goes host-side;
+    output must still match and the device must see almost nothing."""
+    d = data_dir / "e2e" / "sim2_deep"
+    baseline = _records(d)
+    monkeypatch.setenv("SNIPER_SLAB_D", "2")
+    s0 = STATS.snapshot()
+    got = _records(d)
+    s1 = STATS.snapshot()
+    assert got == baseline
+    deep = s1.get("host_deep_columns", 0) - s0.get("host_deep_columns", 0)
+    scored = s1.get("columns_scored", 0) - s0.get("columns_scored", 0)
+    assert deep >= 0.9 * scored
+
+
+def test_choose_d():
+    assert slab.choose_d(np.array([], np.int32)) is None
+    assert slab.choose_d(np.full(100, 30)) == 32
+    assert slab.choose_d(np.full(100, 33)) == 64
+    # the tail beyond the coverage quantile does not widen the slab
+    dm = np.r_[np.full(999, 40), np.array([5000])]
+    assert slab.choose_d(dm) == 64
+    # beyond the ladder: clamp to the widest slab (rest goes host-side)
+    assert slab.choose_d(np.full(100, 500)) == 128

@@ -1,0 +1,83 @@
+"""Uniform-slab dispatcher invariants (parallel.slab).
+
+The output contract: record bytes are independent of slab packing —
+slab size, cross-window slab spans, partial-slab padding and the
+max-live force flush must never change what is emitted (the same
+window/shard-count invariance the reference's single stream trivially
+has, SURVEY.md §7 "deterministic distributed merge").
+"""
+
+import numpy as np
+
+from somatic_sniper_tpu import runner
+from somatic_sniper_tpu.parallel.sharded import call_pair_windows
+from somatic_sniper_tpu.utils.stats import STATS
+
+
+def _lines_windowed(d, window_size, **kw):
+    out = []
+    for _wi, _w, lines in call_pair_windows(
+        str(d / "tumor.bam"), str(d / "normal.bam"), str(d / "ref.fa"),
+        precision="fast", fmt="vcf", window_size=window_size, **kw,
+    ):
+        out.extend(lines)
+    return out
+
+
+def test_tiny_slabs_cross_window_same_output(monkeypatch, data_dir):
+    d = data_dir / "e2e" / "sim1"
+    baseline = _lines_windowed(d, 200_000)
+
+    # slab B=16: several slabs, spanning window boundaries with tiny
+    # windows; the packing must be invisible in the output
+    monkeypatch.setenv("SNIPER_SLAB_B", "16")
+    s0 = STATS.snapshot()
+    got = _lines_windowed(d, 10_000)
+    s1 = STATS.snapshot()
+    assert got == baseline
+    assert (
+        s1.get("slabs_dispatched", 0) - s0.get("slabs_dispatched", 0)
+    ) >= 2
+
+
+def test_partial_slab_padding_invisible(monkeypatch, data_dir):
+    """A run that fits in one partial slab equals a run cut into many
+    full slabs (zero-padded tail rows must never emit)."""
+    d = data_dir / "e2e" / "sim1"
+    big = _lines_windowed(d, 1_000_000)  # default B: one partial slab
+    monkeypatch.setenv("SNIPER_SLAB_B", "128")
+    small = _lines_windowed(d, 1_000_000)
+    assert small == big
+
+
+def test_max_live_force_flush(monkeypatch, data_dir):
+    """Sparse windows under a huge slab must still flush (bounded
+    held-window memory) and yield identical records."""
+    d = data_dir / "e2e" / "sim1"
+    baseline = _lines_windowed(d, 200_000)
+    # B far above the per-window survivor count: slabs would never fill
+    # on their own, so only the max-live bound can flush them
+    monkeypatch.setenv("SNIPER_SLAB_B", "16384")
+
+    from somatic_sniper_tpu.parallel import slab as slab_mod
+
+    orig_init = slab_mod.SlabDispatcher.__init__
+
+    def init2(self, *a, **kw):
+        kw["max_live_windows"] = 2
+        orig_init(self, *a, **kw)
+
+    monkeypatch.setattr(slab_mod.SlabDispatcher, "__init__", init2)
+    got = _lines_windowed(d, 20_000)
+    assert got == baseline
+
+
+def test_whole_file_and_windowed_agree(data_dir):
+    d = data_dir / "e2e" / "sim1"
+    whole = [
+        ln for ln in runner.call_pair(
+            str(d / "tumor.bam"), str(d / "normal.bam"),
+            str(d / "ref.fa"), precision="fast", fmt="vcf",
+        )
+    ]
+    assert whole == _lines_windowed(d, 50_000)
