@@ -11,10 +11,20 @@ plus per-mode numbers so device-path regressions can't hide behind a
 best-of (exact = all-host bit-identical scoring; fast = the TPU device
 path):
 
-  exact_cols_per_sec / fast_cols_per_sec          -- 200 kb pair
-  exact_10mb_cols_per_sec / fast_10mb_cols_per_sec -- 10 Mb windowed
-  device_busy_frac_10mb   -- device wait fraction of the fast 10 Mb wall
-  device_cols_per_sec     -- scored columns / device-phase seconds
+  exact_cols_per_sec / fast_cols_per_sec            -- 200 kb pair
+  exact_10mb_cols_per_sec / fast_10mb_cols_per_sec  -- 10 Mb windowed
+  fast_contract_ok / fast_contract_diffs -- on-hardware fast-vs-exact
+      field diff under the ±1 contract (utils.contract), so a compiled-
+      Mosaic divergence fails loudly instead of hiding behind counts
+  host_blocked_on_device_frac_10mb -- fraction of the fast 10 Mb wall
+      the host spent BLOCKED on device fetches (what the r2 bench
+      mislabeled "device_busy_frac"; it is not chip occupancy)
+  device_cols_per_sec -- device-dispatched columns / (pad+dispatch +
+      blocked-fetch seconds): the host-visible cost of using the chip
+  kernel_cols_per_sec / mfu / roofline -- on-device kernel rate at the
+      production slab shape via a chained fori_loop microbench
+      (utils.mfu; free of link latency), its FLOP-model utilization
+      against the v5e bf16 peak, and the compute-vs-HBM verdict
 
 The baseline is the reference C implementation (bam-somaticsniper) on the
 same synthetic 2x200kb 30x tumor/normal pair.  If a reference binary is
@@ -22,9 +32,12 @@ present at $SNIPER_REF_BIN or /tmp/ref/bam-somaticsniper it is timed live
 on this host; otherwise the recorded measurement from BASELINE.md
 (~130k columns/s on the dev host, single thread) is used.
 
-All device phases run in one bounded subprocess: on a tunneled device
-the per-process executable loads can stall for minutes, and a hung
-device must not sink the whole benchmark (exact numbers still print).
+Device phases run in bounded subprocesses (fast e2e and the kernel
+microbench separately): on a tunneled device the per-process first
+execution of a compiled shape can stall for minutes, and a hung device
+must not sink the whole benchmark (exact numbers still print).  The
+uniform-slab dispatch uses ONE compiled shape for all fast phases, so
+each subprocess pays that cost once.
 """
 
 from __future__ import annotations
@@ -98,20 +111,22 @@ def count_columns(d: Path) -> int:
     return len(np.intersect1d(pu_t.ukeys, pu_n.ukeys, assume_unique=True))
 
 
-def _time_mode(d: Path, mode: str, reps: int = 6) -> float:
+def _time_mode(d: Path, mode: str, reps: int = 6):
+    """(best wall seconds, last run's output lines) for the whole-file
+    driver on the 200 kb pair."""
     from somatic_sniper_tpu.runner import call_pair
 
     args = (str(d / "tumor.bam"), str(d / "normal.bam"),
             str(d / "ref.fa"))
-    list(call_pair(*args, precision=mode))  # warm-up (compiles cached)
+    lines = list(call_pair(*args, precision=mode, fmt="vcf"))  # warm-up
     best = float("inf")
     for _ in range(reps):
         t0 = time.time()
-        recs = list(call_pair(*args, precision=mode))
+        lines = list(call_pair(*args, precision=mode, fmt="vcf"))
         best = min(best, time.time() - t0)
-    print(f"bench: {mode} best wall {best:.2f}s, {len(recs)} records",
+    print(f"bench: {mode} best wall {best:.2f}s, {len(lines)} records",
           file=sys.stderr)
-    return best
+    return best, lines
 
 
 def _time_mode_windows(d: Path, mode: str, reps: int = 2) -> dict:
@@ -129,19 +144,23 @@ def _time_mode_windows(d: Path, mode: str, reps: int = 2) -> dict:
         return time.time() - t0, n
 
     once()  # warm-up
-    best, device_s, scored = float("inf"), 0.0, 0
+    best, stats = float("inf"), {}
     for _ in range(reps):
-        s0 = STATS.snapshot() if hasattr(STATS, "snapshot") else None
+        s0 = STATS.snapshot()
         t, _n = once()
         if t < best:
             best = t
-            if s0 is not None:
-                s1 = STATS.snapshot()
-                device_s = s1.get("device", 0.0) - s0.get("device", 0.0)
-                scored = int(s1.get("columns_scored", 0)
-                             - s0.get("columns_scored", 0))
+            s1 = STATS.snapshot()
+            stats = {k: s1.get(k, 0) - s0.get(k, 0) for k in s1}
     print(f"bench: {mode} 10mb best wall {best:.2f}s", file=sys.stderr)
-    return {"wall": best, "device_s": device_s, "scored": scored}
+    return {
+        "wall": best,
+        "device_s": stats.get("device", 0.0),
+        "dispatch_s": stats.get("pad+dispatch", 0.0),
+        "device_cols": int(stats.get("device_columns", 0)),
+        "host_deep_cols": int(stats.get("host_deep_columns", 0)),
+        "slabs": int(stats.get("slabs_dispatched", 0)),
+    }
 
 
 def device_preflight(timeout_s: int = 90) -> bool:
@@ -159,30 +178,78 @@ def device_preflight(timeout_s: int = 90) -> bool:
         return False
 
 
+def _fast_phase_body(d200: Path, d10: Path) -> dict:
+    """Runs inside the bounded fast subprocess (see time_fast_phases)."""
+    w200, fast_lines = _time_mode(d200, "fast")
+    out = {"w200": w200, **_time_mode_windows(d10, "fast")}
+    # On-hardware output contract: the timed fast output vs an exact
+    # (all-host, bit-identical-to-reference) run of the same pair.
+    from somatic_sniper_tpu.runner import call_pair
+    from somatic_sniper_tpu.utils.contract import diff_records
+
+    exact_lines = list(call_pair(
+        str(d200 / "tumor.bam"), str(d200 / "normal.bam"),
+        str(d200 / "ref.fa"), precision="exact", fmt="vcf",
+    ))
+    try:
+        tolerated = diff_records(fast_lines, exact_lines, "vcf")
+        out["contract_ok"] = True
+        out["contract_diffs"] = len(tolerated)
+    except AssertionError as e:
+        out["contract_ok"] = False
+        out["contract_error"] = str(e)[:300]
+    return out
+
+
 def time_fast_phases(d200: Path, d10: Path) -> dict:
-    """All device-path timings in one bounded subprocess."""
+    """All fast e2e timings + the output contract, in one bounded
+    subprocess."""
     code = (
-        "import bench, json, os, sys; from pathlib import Path; "
+        "import bench, json, os; from pathlib import Path; "
         "os.environ['SNIPER_STATS']='1'; "
-        f"w200 = bench._time_mode(Path({str(d200)!r}), 'fast'); "
-        f"w10 = bench._time_mode_windows(Path({str(d10)!r}), 'fast'); "
-        "print('FASTJSON ' + json.dumps({'w200': w200, **w10}))"
+        f"r = bench._fast_phase_body(Path({str(d200)!r}), "
+        f"Path({str(d10)!r})); "
+        "print('FASTJSON ' + json.dumps(r))"
     )
+    return _bounded_json(
+        code, "FASTJSON",
+        int(os.environ.get("SNIPER_BENCH_FAST_TIMEOUT", "1800")),
+        "fast phases",
+    )
+
+
+def time_mfu() -> dict:
+    """Kernel-only microbench in its own bounded subprocess (a distinct
+    executable from the production slab, hence a separate first-run
+    load on tunneled links)."""
+    code = (
+        "import json; from somatic_sniper_tpu.utils.mfu import "
+        "bench_kernel; r = bench_kernel(); "
+        "print('MFUJSON ' + json.dumps(r._asdict()))"
+    )
+    return _bounded_json(
+        code, "MFUJSON",
+        int(os.environ.get("SNIPER_BENCH_MFU_TIMEOUT", "1200")),
+        "kernel microbench",
+    )
+
+
+def _bounded_json(code: str, tag: str, timeout: int, what: str) -> dict:
     try:
         r = subprocess.run(
             [sys.executable, "-c", code],
-            capture_output=True, text=True,
-            timeout=int(os.environ.get("SNIPER_BENCH_FAST_TIMEOUT", "900")),
+            capture_output=True, text=True, timeout=timeout,
             cwd=str(Path(__file__).resolve().parent),
         )
         print(r.stderr, file=sys.stderr, end="")
         if r.returncode == 0:
             for line in r.stdout.splitlines():
-                if line.startswith("FASTJSON "):
-                    return json.loads(line[len("FASTJSON "):])
-    except subprocess.TimeoutExpired:
-        print("bench: fast phases skipped (device stalled)",
+                if line.startswith(tag + " "):
+                    return json.loads(line[len(tag) + 1:])
+        print(f"bench: {what} failed (exit {r.returncode})",
               file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print(f"bench: {what} skipped (device stalled)", file=sys.stderr)
     return {}
 
 
@@ -220,14 +287,15 @@ def main() -> None:
     n_cols = count_columns(d)
     n_cols_10 = count_columns(d10)
 
-    exact_wall = _time_mode(d, "exact")
+    exact_wall, _ = _time_mode(d, "exact")
     exact10 = _time_mode_windows(d10, "exact")
 
-    fast = {}
+    fast, mfu = {}, {}
     device_unavailable = False
     if os.environ.get("SNIPER_BENCH_FAST", "1") != "0":
         if device_preflight():
             fast = time_fast_phases(d, d10)
+            mfu = time_mfu()
         else:
             device_unavailable = True
             print("bench: device preflight failed (tunnel down?) — "
@@ -256,14 +324,29 @@ def main() -> None:
     }
     if device_unavailable:
         out["device_unavailable"] = True
+    if "contract_ok" in fast:
+        out["fast_contract_ok"] = fast["contract_ok"]
+        out["fast_contract_diffs"] = fast.get("contract_diffs")
+        if fast.get("contract_error"):
+            out["fast_contract_error"] = fast["contract_error"]
     if fast.get("wall"):
-        out["device_busy_frac_10mb"] = round(
+        out["host_blocked_on_device_frac_10mb"] = round(
             fast.get("device_s", 0.0) / fast["wall"], 3
         )
-        if fast.get("device_s"):
+        dev_cost = fast.get("device_s", 0.0) + fast.get("dispatch_s", 0.0)
+        if dev_cost > 0:
             out["device_cols_per_sec"] = round(
-                fast.get("scored", 0) / fast["device_s"], 1
+                fast.get("device_cols", 0) / dev_cost, 1
             )
+        out["slabs_dispatched_10mb"] = fast.get("slabs")
+        out["host_deep_cols_10mb"] = fast.get("host_deep_cols")
+    if mfu.get("cols_per_sec"):
+        out["kernel_cols_per_sec"] = round(mfu["cols_per_sec"], 1)
+        out["mfu"] = round(mfu["est_mfu"], 5)
+        out["kernel_tflops"] = round(mfu["tflops"], 4)
+        out["flops_per_col"] = mfu["flops_per_col"]
+        out["roofline"] = mfu["verdict"]
+        out["kernel_shape"] = [mfu["B"], mfu["D"]]
     print(json.dumps(out))
 
 

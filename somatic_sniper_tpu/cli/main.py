@@ -161,6 +161,35 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _commit_id() -> str:
+    """Source commit for version_info (reference main.c:20-25 prints the
+    git-stamped commit via build-common/cmake/VersionHelper.cmake:1-8).
+
+    Resolution: a build-time-stamped ``somatic_sniper_tpu._commit``
+    module if present (sdist/wheel installs), else a live ``git
+    rev-parse`` of the package's checkout (editable/dev installs),
+    else "unknown"."""
+    try:
+        from .. import _commit  # type: ignore
+
+        return _commit.COMMIT
+    except Exception:
+        pass
+    try:
+        import subprocess
+
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = subprocess.run(
+            ["git", "-C", here, "rev-parse", "--short=8", "HEAD"],
+            capture_output=True, text=True, timeout=5,
+        )
+        if r.returncode == 0 and r.stdout.strip():
+            return r.stdout.strip()
+    except Exception:
+        pass
+    return "unknown"
+
+
 def _maybe_init_distributed(args) -> None:
     """Multi-host pod-slice initialization (opt-in via env so single-host
     runs never touch jax.distributed):
@@ -181,6 +210,12 @@ def _maybe_init_distributed(args) -> None:
     jax.distributed.initialize(
         coordinator_address=coord, num_processes=num, process_id=pid,
     )
+    # Force the backend's global topology exchange NOW, in every
+    # process: backend init is otherwise lazy (first jax op), and a
+    # process with an empty/resumed shard would never trigger it —
+    # leaving a peer that does blocked 5 min in GetKeyValue waiting for
+    # this process's topology.
+    jax.devices()
     if args.shards == 1 and args.shard_index is None:
         args.shards = num
         args.shard_index = pid
@@ -190,11 +225,27 @@ def _maybe_init_distributed(args) -> None:
 def _run_jobs(args) -> int:
     """--jobs N: spawn N shard worker processes (contiguous genome
     partition, same numbering as --shards/--shard-index) and merge
-    their outputs; the merged bytes equal a single-process run."""
+    their outputs; the merged bytes equal a single-process run.
+
+    Worker thread budget: each worker's region-load pool is clamped so
+    N workers never oversubscribe the host (round 2 measured --jobs 2
+    SLOWER on a 2-core host because 2 workers x 2 load threads fought
+    for 2 cores); with the clamp each worker is ~1 busy core and the
+    speedup tracks core count."""
     import subprocess
     import tempfile
 
     from ..scripts.merge_shards import merge
+
+    ncpu = os.cpu_count() or 1
+    if args.jobs > ncpu:
+        # more workers than cores can't help: per-worker work is CPU
+        # bound; degrade instead of thrashing
+        print(f"--jobs {args.jobs} clamped to {ncpu} (host cores)",
+              file=sys.stderr)
+        args.jobs = ncpu
+    if args.jobs <= 1:
+        args.jobs = 1
 
     base = [
         sys.executable, "-m", "somatic_sniper_tpu.cli.main",
@@ -215,10 +266,14 @@ def _run_jobs(args) -> int:
     tmpdir = tempfile.mkdtemp(prefix="sniper_jobs_")
     outs = [os.path.join(tmpdir, f"shard{i}.out")
             for i in range(args.jobs)]
+    wenv = dict(os.environ)
+    if "SNIPER_LOAD_POOL" not in wenv and 2 * args.jobs > ncpu:
+        wenv["SNIPER_LOAD_POOL"] = "1"
     procs = [
         subprocess.Popen(
             base + ["--shards", str(args.jobs), "--shard-index", str(i),
                     args.tumor_bam, args.normal_bam, outs[i]],
+            env=wenv,
         )
         for i in range(args.jobs)
     ]
@@ -264,9 +319,12 @@ def main(argv=None) -> int:
         jax.config.update("jax_enable_x64", True)
     if args.version:
         # reference version_info() format (main.c:20-25): version, commit,
-        # optional build type; "tpu" is this build's type tag
+        # optional build type; "tpu" is this build's type tag.  The
+        # commit is resolved like build-common's VersionHelper (git
+        # describe at build time): a stamped _commit module wins, then
+        # a live git query of the source checkout.
         print(f"Somatic Sniper version ({__version__}) "
-              f"(commit unknown) (tpu)")
+              f"(commit {_commit_id()}) (tpu)")
         return 0
     _maybe_init_distributed(args)
     if not (args.tumor_bam and args.normal_bam and args.output):
@@ -355,15 +413,58 @@ def main(argv=None) -> int:
         num, pid = dist
         real_out = args.output
         args.output = f"{real_out}.shard{pid}"
+        # Failure paths below use os._exit: after a peer death the
+        # jax.distributed atexit shutdown can block indefinitely on the
+        # coordination service (the coordinator waits for dead/erroring
+        # clients), turning a clean fail-fast into a hang.  Output and
+        # manifest are flushed before every exit.
         try:
             rc = _run(args, params, header_fn, record_fn, hdata)
         except (OSError, ValueError) as e:
             print(f"bam-somaticsniper-tpu: {e}", file=sys.stderr)
-            return 1
+            sys.stderr.flush()
+            os._exit(1)
+        except Exception as e:
+            # distributed-runtime errors (peer death detected by the
+            # coordination-service heartbeat) surface here
+            print(
+                f"bam-somaticsniper-tpu: distributed run failed "
+                f"({type(e).__name__}: {e}); shard output kept at "
+                f"{args.output} — re-run with the same manifests to "
+                "resume",
+                file=sys.stderr,
+            )
+            sys.stderr.flush()
+            os._exit(3)
         if rc == 0:
-            from ..parallel.collective import collective_merge
+            from ..parallel.collective import collective_merge, merge_barrier
 
-            collective_merge(real_out, args.output, pid, num)
+            try:
+                # rendezvous with a timeout BEFORE the all_gather: a dead
+                # peer must fail the survivors fast, not hang them in the
+                # collective; shard output + manifest stay on disk for a
+                # resumed re-run
+                merge_barrier()
+            except Exception as e:
+                print(
+                    f"bam-somaticsniper-tpu: merge barrier failed "
+                    f"(a worker died or stalled): {e}; shard output "
+                    f"kept at {args.output} — re-run with the same "
+                    "manifests to resume",
+                    file=sys.stderr,
+                )
+                sys.stderr.flush()
+                os._exit(3)
+            try:
+                collective_merge(real_out, args.output, pid, num)
+            except Exception as e:
+                print(
+                    f"bam-somaticsniper-tpu: collective merge failed "
+                    f"({type(e).__name__}: {e}); shard outputs kept",
+                    file=sys.stderr,
+                )
+                sys.stderr.flush()
+                os._exit(3)
         return rc
     try:
         return _run(args, params, header_fn, record_fn, hdata)
@@ -424,6 +525,10 @@ def _run(args, params, header_fn, record_fn, hdata) -> int:
             fh.truncate()
         else:
             header_fn(fh, hdata)
+        # fault-injection hook for the distributed failure tests: die
+        # hard (no cleanup, like a real crash) after N windows
+        fault_after = os.environ.get("SNIPER_FAULT_EXIT_AFTER_WINDOW")
+        n_done = 0
         for wi, _win, lines in call_pair_windows(
             args.tumor_bam, args.normal_bam, args.ref,
             params=params, precision=args.precision,
@@ -435,6 +540,9 @@ def _run(args, params, header_fn, record_fn, hdata) -> int:
             fh.flush()
             if manifest:
                 manifest.mark(wi, fh.tell())
+            n_done += 1
+            if fault_after and n_done >= int(fault_after):
+                os._exit(17)
     if args.stats or run_stats.enabled():
         print(run_stats.STATS.summary(), file=sys.stderr)
     return 0

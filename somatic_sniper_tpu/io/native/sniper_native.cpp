@@ -2281,6 +2281,14 @@ int64_t exact_pair_rows(
 //     pass), when the reference code is ambiguous (rb gate), or when
 //     either sample has zero non-deleted reads (depth gate).  Runs on
 //     two threads over the shared columns that survive tier 1.
+//     use_cns == 2 is the PROOF-ONLY variant (fast/device mode): the
+//     cheap near-pure hom-ref proof (tier 2a) still resolves ~90% of
+//     the impure columns, but when it is inconclusive the column is
+//     KEPT instead of paying the full f64 dual-consensus eval — the
+//     device kernel applies the whole emission gate anyway, so the
+//     host trades a few extra shipped columns for the expensive
+//     glf_exact_cns calls.  (Exact mode keeps use_cns == 1: its
+//     survivors are scored host-side, so pre-gating pays for itself.)
 int64_t paired_plan(const NativePileup* t, const NativePileup* n,
                     const uint8_t* ref16, const int64_t* ref_off,
                     int32_t n_ref, const double* fk, const double* gmin,
@@ -2399,30 +2407,37 @@ int64_t paired_plan(const NativePileup* t, const NativePileup* n,
                     drop[(size_t)i] = 1;
                     continue;
                 }
+                const bool full = (use_cns != 2);
                 int32_t keep_t = 1, keep_n = 1;
-                int32_t cns_t;
+                int resolved_t = 1, resolved_n = 1;
+                int32_t cns_t = -1;
                 if (cd.pure_t)
                     cns_t = cd.r16;
                 else if (glf_cns_homref_proof(t, cd.ti, cd.r16, gt,
                                               sc_fkpre, sc_coefmin,
                                               &keep_t))
                     cns_t = cd.r16;
-                else
+                else if (full)
                     cns_t = glf_exact_cns(t, cd.ti, cd.r16, gt, &keep_t);
-                if (keep_t == 0) {
+                else
+                    resolved_t = 0;  // proof-only: keep, device decides
+                if (resolved_t && keep_t == 0) {
                     drop[(size_t)i] = 1;
                     continue;
                 }
-                int32_t cns_n;
+                int32_t cns_n = -2;
                 if (cd.pure_n)
                     cns_n = cd.r16;
                 else if (glf_cns_homref_proof(n, cd.ni, cd.r16, gt,
                                               sc_fkpre, sc_coefmin,
                                               &keep_n))
                     cns_n = cd.r16;
-                else
+                else if (full)
                     cns_n = glf_exact_cns(n, cd.ni, cd.r16, gt, &keep_n);
-                drop[(size_t)i] = (keep_n == 0) || (cns_t == cns_n);
+                else
+                    resolved_n = 0;
+                drop[(size_t)i] = resolved_t && resolved_n &&
+                                  ((keep_n == 0) || (cns_t == cns_n));
             }
         };
         int64_t nt = std::thread::hardware_concurrency();

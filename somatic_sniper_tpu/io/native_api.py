@@ -384,13 +384,17 @@ def paired_plan(
     coef: np.ndarray | None = None,
     lhet: np.ndarray | None = None,
     q_r_int: int = 0,
+    cns_mode: str = "full",
 ) -> PairedPlan:
     """Fused native intersect + prefilter + depth-bucket grouping over
     two native pileups (one O(shared) C++ pass plus a threaded filter
     pass).  The margin-bound pure-reference prefilter runs iff ``gmin``
     is given; the exact dual-consensus filter (drop columns whose SNP
     gate provably fails under the reference's f64 model) additionally
-    runs iff ``coef``/``lhet`` are given."""
+    runs iff ``coef``/``lhet`` are given.  ``cns_mode="proof"`` keeps
+    columns the cheap hom-ref proof cannot resolve instead of paying
+    the full f64 eval (fast/device mode — the device applies the whole
+    gate anyway)."""
     owner_t, owner_n = pu_t.owner, pu_n.owner
     lib = owner_t._lib
     blob = np.ascontiguousarray(ref_blob, np.uint8)
@@ -428,7 +432,8 @@ def paired_plan(
         gmin_c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         float(margin), 1 if gmin is not None else 0,
         coef_c.ctypes.data_as(dp), lhet_c.ctypes.data_as(dp),
-        int(q_r_int), 1 if use_cns else 0,
+        int(q_r_int),
+        (2 if cns_mode == "proof" else 1) if use_cns else 0,
         bk.ctypes.data_as(i32p), len(bk),
         keys.ctypes.data_as(i64p), ti.ctypes.data_as(i64p),
         ni.ctypes.data_as(i64p), d_t.ctypes.data_as(i32p),

@@ -202,17 +202,25 @@ class CompactResult(NamedTuple):
     Device-to-host links can be far slower than host-to-device (tunneled
     PCIe, relay setups); emitted sites are a small fraction of columns, so
     gathering them on device shrinks the result transfer by 10-100x.
+
+    With ``row_dtype="u8"`` (the slab path), ``rows`` is
+    ``[K, 2 + len(COMPACT_FIELDS)] uint8`` — batch index split into
+    lo/hi bytes in columns 0/1, every field byte-narrow (all call fields
+    are <= 255 whenever the padded depth is <= 255) — a further ~3.8x
+    cut of the result-fetch bytes on links whose device-to-host
+    direction is the slow one (measured ~10-20 MB/s through the axon
+    tunnel vs ~600 MB/s host-to-device).
     """
 
     count: jax.Array  # [] int32 — number of emitted sites (may exceed K)
-    rows: jax.Array   # [K, 1 + len(COMPACT_FIELDS)] int32
+    rows: jax.Array   # [K, 1 + NF] int32, or [K, 2 + NF] uint8
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "precision", "use_joint", "cap_mapq", "theta", "eta", "max_emit",
-        "glf_backend", "mesh",
+        "glf_backend", "mesh", "row_dtype",
     ),
 )
 def call_batch_compact(
@@ -236,11 +244,14 @@ def call_batch_compact(
     max_emit: int = 16384,
     glf_backend: str = "auto",
     mesh=None,
+    row_dtype: str = "i32",
 ) -> CompactResult:
     """call_batch + on-device compaction of the emitted rows.
 
     ``count`` can exceed ``max_emit``; callers must fall back to the full
-    call_batch in that (pathological) case.
+    call_batch in that (pathological) case.  ``row_dtype="u8"`` selects
+    the byte-narrow row layout (see CompactResult); only valid when the
+    padded depth is <= 255 and max_emit <= 65536.
     """
     res = call_batch(
         tumor, normal, fk64, coef64, lhet64, solo_prior, joint_prior,
@@ -251,10 +262,19 @@ def call_batch_compact(
     )
     K = min(max_emit, res.emit.shape[0])
     idx = jnp.nonzero(res.emit, size=K, fill_value=0)[0].astype(I32)
-    cols = [idx] + [
-        jnp.take(getattr(res, f), idx, axis=0).astype(I32)
-        for f in COMPACT_FIELDS
-    ]
+    if row_dtype == "u8":
+        u8 = jnp.uint8
+        cols = [
+            (idx & 0xFF).astype(u8), (idx >> 8).astype(u8),
+        ] + [
+            jnp.take(getattr(res, f), idx, axis=0).astype(u8)
+            for f in COMPACT_FIELDS
+        ]
+    else:
+        cols = [idx] + [
+            jnp.take(getattr(res, f), idx, axis=0).astype(I32)
+            for f in COMPACT_FIELDS
+        ]
     rows = jnp.stack(cols, axis=1)
     return CompactResult(count=res.emit.sum().astype(I32), rows=rows)
 
@@ -263,7 +283,7 @@ def call_batch_compact(
     jax.jit,
     static_argnames=(
         "use_joint", "cap_mapq", "theta", "eta", "max_emit", "glf_backend",
-        "mesh",
+        "mesh", "row_dtype",
     ),
 )
 def call_batch_packed(
@@ -286,6 +306,7 @@ def call_batch_packed(
     max_emit: int = 16384,
     glf_backend: str = "auto",
     mesh=None,
+    row_dtype: str = "i32",
 ) -> CompactResult:
     """Fast-path entry over bit-packed inputs (D <= 255 depth buckets).
 
@@ -320,6 +341,7 @@ def call_batch_packed(
         min_somatic_qual=min_somatic_qual, include_loh=include_loh,
         include_gor=include_gor, cap_mapq=cap_mapq, theta=theta, eta=eta,
         max_emit=max_emit, glf_backend=glf_backend, mesh=mesh,
+        row_dtype=row_dtype,
     )
 
 

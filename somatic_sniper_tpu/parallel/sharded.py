@@ -25,6 +25,7 @@ dispatch overhead only bites below ~0.5 Mb).
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 from typing import Iterator
 
@@ -215,7 +216,15 @@ def call_pair_windows(
         (wi, w) for wi, w in mine
         if not (skip_windows and wi in skip_windows)
     ]
-    ex = ThreadPoolExecutor(max_workers=2)
+    # SNIPER_LOAD_POOL bounds the concurrent region-load threads (the
+    # native loader releases the GIL).  --jobs sets it to 1 for its
+    # workers when N workers x 2 load threads would oversubscribe the
+    # host cores (the measured failure mode of round 2's --jobs).
+    try:
+        pool_n = max(1, int(os.environ.get("SNIPER_LOAD_POOL", "2")))
+    except ValueError:
+        pool_n = 2
+    ex = ThreadPoolExecutor(max_workers=pool_n)
 
     def _submit_load(win):
         tid, beg, end = win
@@ -226,7 +235,7 @@ def call_pair_windows(
 
     # two-window lookahead keeps the load pool fed while the current
     # window computes (one-deep starves when compute is faster than the
-    # pair of loads; the pool still bounds concurrency at 2 threads)
+    # pair of loads; the pool still bounds thread concurrency)
     LOOKAHEAD = 2
     inflight: list = [
         _submit_load(w) for _, w in todo[:LOOKAHEAD]
@@ -269,7 +278,7 @@ def call_pair_windows(
                     dtabs, tabs, params, refcache, fmt=fmt,
                 )
             plan = make_plan(pu_t, pu_n, tabs, ref_blob, ref_off,
-                             prefilter)
+                             prefilter, cns_mode="proof")
             slab_disp.add_window(wi, (tid, beg, end), pu_t, pu_n, plan)
             yield from slab_disp.ready()
             continue

@@ -340,7 +340,7 @@ def call_pair(
             from .parallel.slab import SlabDispatcher
 
             plan = make_plan(pu_t, pu_n, tabs, ref_blob, ref_off,
-                             prefilter)
+                             prefilter, cns_mode="proof")
             disp = SlabDispatcher(
                 lambda: get_device_tables(params, precision), tabs,
                 params, refcache, fmt=fmt,
@@ -453,17 +453,21 @@ def exact_records_native(
     return records
 
 
-def make_plan(pu_t, pu_n, tabs, ref_blob, ref_off, prefilter: bool):
+def make_plan(pu_t, pu_n, tabs, ref_blob, ref_off, prefilter: bool,
+              cns_mode: str = "full"):
     """One native ``paired_plan`` pass: fused ukey intersection, the
     pure-reference prefilter (both-samples-pure columns never leave the
-    host), the exact dual-consensus gate (provably output-preserving —
-    it evaluates the SNP gate with the exact f64 model itself) and
-    depth grouping.  Shared by the exact scorer and the slab
-    dispatcher."""
+    host), the dual-consensus gate (provably output-preserving — it
+    evaluates the SNP gate with the exact f64 model itself) and depth
+    grouping.  Shared by the exact scorer (``cns_mode="full"``) and the
+    slab dispatcher (``"proof"``: unresolved columns ship to the device,
+    which applies the whole gate — the host skips the expensive f64
+    evals).  Override with SNIPER_PLAN_GATE=full|proof."""
     from .io.native_api import paired_plan
     from .pileup.columnize import DEPTH_BUCKETS
     from .pileup.prefilter import prefilter_tables
 
+    cns_mode = os.environ.get("SNIPER_PLAN_GATE", cns_mode)
     gmin = None
     margin = 0.0
     coef = lhet = None
@@ -475,7 +479,8 @@ def make_plan(pu_t, pu_n, tabs, ref_blob, ref_off, prefilter: bool):
     with STATS.timer("plan"):
         plan = paired_plan(pu_t, pu_n, ref_blob, ref_off, DEPTH_BUCKETS,
                            fk=tabs.fk, gmin=gmin, margin=margin,
-                           coef=coef, lhet=lhet, q_r_int=tabs.q_r_int)
+                           coef=coef, lhet=lhet, q_r_int=tabs.q_r_int,
+                           cns_mode=cns_mode)
     STATS.add("columns_scored", len(plan.keys))
     return plan
 

@@ -164,18 +164,29 @@ def test_cns_filter_output_identical_fast(data_dir):
         assert len(on) > 0
 
 
-def test_cns_filter_scores_only_near_emitted(data_dir):
+def test_cns_filter_scores_only_near_emitted(data_dir, monkeypatch):
     """The filter should leave close to nothing un-emittable: on clean
-    simulated data the scored-column count lands within 2x of the
-    emitted-record count (a regression canary for filter strength)."""
+    simulated data the full gate lands within 2x of the emitted-record
+    count; fast mode's proof-only gate (which skips the expensive f64
+    dual-consensus evals and lets the device decide) stays within 4x
+    (regression canaries for filter strength)."""
     from somatic_sniper_tpu.utils.stats import STATS
 
     d = _sim_dir(data_dir)
     args = (str(d / "tumor.bam"), str(d / "normal.bam"), str(d / "ref.fa"))
+
+    monkeypatch.setenv("SNIPER_PLAN_GATE", "full")
     STATS.reset()
     recs = list(call_pair(*args, precision="fast", prefilter=True))
-    scored = STATS.counts.get("columns_scored", 0)
-    assert scored <= max(2 * len(recs), 64)
+    scored_full = STATS.counts.get("columns_scored", 0)
+    assert scored_full <= max(2 * len(recs), 64)
+
+    monkeypatch.setenv("SNIPER_PLAN_GATE", "proof")
+    STATS.reset()
+    recs_p = list(call_pair(*args, precision="fast", prefilter=True))
+    scored_proof = STATS.counts.get("columns_scored", 0)
+    assert recs_p == recs  # gate depth never changes output
+    assert scored_proof <= max(4 * len(recs), 64)
 
 
 def test_homref_proof_sound(data_dir, tabs):
