@@ -256,6 +256,17 @@ def _bounded_json(code: str, tag: str, timeout: int, what: str) -> dict:
 def time_reference(d: Path) -> float | None:
     ref = os.environ.get("SNIPER_REF_BIN", "/tmp/ref/bam-somaticsniper")
     if not Path(ref).exists():
+        # build it from /root/reference (offline, ~30 s) so the
+        # baseline is timed live on this host instead of recorded
+        script = Path(__file__).parent / "tests" / "tools" / \
+            "build_reference.sh"
+        try:
+            subprocess.run(["sh", str(script)], check=True, timeout=300,
+                           capture_output=True)
+        except Exception as e:
+            print(f"bench: reference build skipped ({e})",
+                  file=sys.stderr)
+    if not Path(ref).exists():
         return None
     best = float("inf")
     for _ in range(2):

@@ -98,7 +98,7 @@ class _Seg(NamedTuple):
 
 class _Slab(NamedTuple):
     segs: list
-    res: object         # CompactResult (on device)
+    fut: object         # Future[(count, rows)] — background host fetch
     fill: int           # rows actually used
 
 
@@ -124,8 +124,9 @@ class SlabDispatcher:
     """
 
     def __init__(self, dtabs_fn, tabs, params, refcache, fmt=None,
-                 B: int | None = None, in_flight: int = 1,
-                 max_live_windows: int = 8):
+                 B: int | None = None, max_live_windows: int = 8):
+        from concurrent.futures import ThreadPoolExecutor
+
         self.dtabs_fn = dtabs_fn
         self.tabs = tabs
         self.params = params
@@ -133,10 +134,22 @@ class SlabDispatcher:
         self.fmt = fmt
         self.B = B or slab_b()
         self.D: int | None = None
-        self.in_flight = in_flight
         self.max_live = max_live_windows
         self.order: deque[_WindowState] = deque()
         self.queue: deque[_Slab] = deque()
+        # One background collector thread fetches results the moment a
+        # slab's compute lands (device_get releases the GIL): the
+        # ~0.5 s per-execute link latency measured on tunneled devices
+        # rides entirely under subsequent host work, and only a slab
+        # finishing at the very end of the run can block the driver.
+        self._collector = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="slab-collect"
+        )
+        # separate 1-thread pool for the tumor-side pad (the collector
+        # thread can be blocked in a device fetch for ~0.5 s at a time)
+        self._padpool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="slab-pad"
+        )
         self.fill = 0
         self.segs: list[_Seg] = []
         self.stacked_h = None
@@ -196,14 +209,19 @@ class SlabDispatcher:
             nk_t = np.empty(b, np.int32)
             nk_n = np.empty(b, np.int32)
             cap = self.params.cap_mapq
-            ws.pu_t.owner.pad16_into(
-                np.ascontiguousarray(plan.ti[sel]), ref16, self.D, cap,
+            # the two per-sample pads write disjoint buffers and the
+            # native call releases the GIL: run them concurrently
+            ti = np.ascontiguousarray(plan.ti[sel])
+            ni = np.ascontiguousarray(plan.ni[sel])
+            fut = self._padpool.submit(
+                ws.pu_t.owner.pad16_into, ti, ref16, self.D, cap,
                 self.stacked_h[0, s:e], nk_t, self.meta_h[0, s:e],
             )
             ws.pu_n.owner.pad16_into(
-                np.ascontiguousarray(plan.ni[sel]), ref16, self.D, cap,
+                ni, ref16, self.D, cap,
                 self.stacked_h[1, s:e], nk_n, self.meta_h[1, s:e],
             )
+            fut.result()
             # bit-packed metadata (models.somatic.call_batch_packed
             # layout): rms_sum < 255*cap^2 < 2^24 for D <= 255, ref16
             # rides bits 24-27 of row 0
@@ -290,7 +308,12 @@ class SlabDispatcher:
                 res.count.copy_to_host_async()
             except Exception:
                 pass
-        self.queue.append(_Slab(self.segs, res, self.fill))
+        from ..runner import _device_get_watched
+
+        fut = self._collector.submit(
+            _device_get_watched, (res.count, res.rows), "slab"
+        )
+        self.queue.append(_Slab(self.segs, fut, self.fill))
         STATS.add("slabs_dispatched", 1)
         STATS.add(
             "device_upload_bytes",
@@ -299,18 +322,17 @@ class SlabDispatcher:
         self._alloc()
 
     def _pump(self) -> None:
-        while len(self.queue) > self.in_flight:
+        # drain every slab whose background fetch already landed; never
+        # block mid-run (finish() blocks for the rest)
+        while self.queue and self.queue[0].fut.done():
             self._collect_one()
 
     def _collect_one(self) -> None:
-        from ..runner import (_PlanBatch, _device_get_watched,
-                              emit_records_compact)
+        from ..runner import _PlanBatch, emit_records_compact
 
         slab = self.queue.popleft()
         with STATS.timer("device"):
-            cnt, rows_u8 = _device_get_watched(
-                (slab.res.count, slab.res.rows), "slab"
-            )
+            cnt, rows_u8 = slab.fut.result()
         count = int(cnt)
         rows_u8 = np.asarray(rows_u8)[:count].astype(np.int32)
         # decode the byte-narrow layout: idx lo/hi bytes, then fields
@@ -346,5 +368,7 @@ class SlabDispatcher:
         self._flush()
         while self.queue:
             self._collect_one()
+        self._collector.shutdown(wait=True)
+        self._padpool.shutdown(wait=True)
         yield from self.ready()
         assert not self.order, "slab dispatcher left incomplete windows"

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Line-coverage runner for the test suite (LB parity).
+
+The reference ships a coverage build type
+(build-common/cmake/ProjectHelper.cmake:4-8 adds --coverage and vendors
+gcovr); this environment has no pytest-cov/coverage.py, so this tool
+implements line coverage directly on CPython 3.12's sys.monitoring
+(PEP 669): LINE events are recorded for every code object under
+somatic_sniper_tpu/, the suite runs via pytest.main, and a per-file
+covered/total report is printed (denominator = AST statement lines).
+
+    python tests/tools/coverage_run.py [pytest args...]
+
+Writes coverage_report.txt next to the repo root and prints the
+summary.  Expect the suite to run ~2x slower under monitoring.
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+import sys
+from collections import defaultdict
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[2]
+PKG = REPO / "somatic_sniper_tpu"
+sys.path.insert(0, str(REPO))
+
+
+def statement_lines(path: Path) -> set[int]:
+    """Line numbers of executable statements (AST-based denominator)."""
+    try:
+        tree = ast.parse(path.read_text())
+    except SyntaxError:
+        return set()
+    lines: set[int] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.stmt) and not isinstance(
+            node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+        ):
+            # skip docstring-only expressions
+            if isinstance(node, ast.Expr) and isinstance(
+                node.value, ast.Constant
+            ):
+                continue
+            lines.add(node.lineno)
+    return lines
+
+
+def main() -> int:
+    import pytest
+
+    mon = sys.monitoring
+    TOOL = mon.COVERAGE_ID
+    mon.use_tool_id(TOOL, "sniper-coverage")
+    hits: dict[str, set[int]] = defaultdict(set)
+    pkg_prefix = str(PKG) + os.sep
+
+    def on_line(code, lineno):
+        fn = code.co_filename
+        if fn.startswith(pkg_prefix):
+            hits[fn].add(lineno)
+        else:
+            return mon.DISABLE  # stop LINE events for foreign code
+        return None
+
+    mon.register_callback(TOOL, mon.events.LINE, on_line)
+    mon.set_events(TOOL, mon.events.LINE)
+    try:
+        rc = pytest.main(sys.argv[1:] or ["tests/", "-q"])
+    finally:
+        mon.set_events(TOOL, 0)
+        mon.register_callback(TOOL, mon.events.LINE, None)
+        mon.free_tool_id(TOOL)
+
+    rows = []
+    tot_cov = tot_all = 0
+    for path in sorted(PKG.rglob("*.py")):
+        stmts = statement_lines(path)
+        if not stmts:
+            continue
+        cov = len(stmts & hits.get(str(path), set()))
+        rows.append((str(path.relative_to(REPO)), cov, len(stmts)))
+        tot_cov += cov
+        tot_all += len(stmts)
+
+    lines = [f"{'file':60s} {'cov':>5s} {'stmt':>5s} {'pct':>6s}"]
+    for name, cov, n in rows:
+        lines.append(f"{name:60s} {cov:5d} {n:5d} {100 * cov / n:5.1f}%")
+    lines.append(
+        f"{'TOTAL':60s} {tot_cov:5d} {tot_all:5d} "
+        f"{100 * tot_cov / max(tot_all, 1):5.1f}%"
+    )
+    report = "\n".join(lines)
+    (REPO / "coverage_report.txt").write_text(report + "\n")
+    print(report)
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -3,22 +3,28 @@
 
 Runs the CLI over a large (default 100 Mb) synthetic 30x pair with
 --jobs 2, sampling the process tree's RSS throughout, then a
-single-process run, and checks:
+single-process run, then a SIGKILL-at-~50% + manifest-resume run, and
+checks:
 
-  * the two outputs are byte-identical (modulo ##fileDate/##reference)
+  * the --jobs output is byte-identical to the single-process output
+    (modulo ##fileDate/##reference)
+  * the killed-and-resumed run's final output is byte-identical too
+    (crash consistency of the per-window manifest)
   * RSS stays flat across the run (streaming, not genome-proportional):
     the median of the last third of samples must be < 1.5x the median
     of samples taken after the first 20% of the run
 
-Prints columns/s for both runs.  Usage:
+Prints columns/s for all runs.  Usage:
 
-    python tests/tools/wgs_soak.py [pair_dir] [--keep]
+    python tests/tools/wgs_soak.py [pair_dir] [--keep] [--size-mb N]
 
+--size-mb sets the genome size (default 100; 500+ for the long soak).
 The pair is generated with utils.simulate.simulate_pair_fast if absent.
 """
 
 import os
 import re
+import signal
 import subprocess
 import sys
 import time
@@ -70,18 +76,26 @@ def _tree_rss_kb(pid: int) -> int:
     return total
 
 
-def run_sampled(cmd: list[str]) -> tuple[float, list[int]]:
+def run_sampled(cmd: list[str], kill_after: float | None = None):
+    """(wall, rss_samples, killed) — optionally SIGKILL the whole
+    process group at ``kill_after`` seconds (crash injection)."""
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     t0 = time.time()
     proc = subprocess.Popen(cmd, env=env, stdout=subprocess.DEVNULL,
-                            stderr=subprocess.DEVNULL)
-    samples = []
+                            stderr=subprocess.DEVNULL,
+                            start_new_session=True)
+    samples, killed = [], False
     while proc.poll() is None:
         samples.append(_tree_rss_kb(proc.pid))
+        if kill_after is not None and time.time() - t0 > kill_after:
+            os.killpg(proc.pid, signal.SIGKILL)
+            killed = True
+            proc.wait()
+            break
         time.sleep(2)
-    if proc.returncode != 0:
+    if not killed and proc.returncode != 0:
         raise SystemExit(f"run failed rc={proc.returncode}: {cmd}")
-    return time.time() - t0, samples
+    return time.time() - t0, samples, killed
 
 
 def filtered_bytes(path: Path) -> bytes:
@@ -91,9 +105,17 @@ def filtered_bytes(path: Path) -> bytes:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    d = Path(args[0]) if args else Path("/tmp/sniper_tpu_bench/pair_100mb")
-    ensure_pair(d, 50_000_000)
+    argv = sys.argv[1:]
+    size_mb = 100
+    if "--size-mb" in argv:
+        i = argv.index("--size-mb")
+        size_mb = int(argv[i + 1])
+        del argv[i : i + 2]
+    args = [a for a in argv if not a.startswith("--")]
+    d = Path(args[0]) if args else Path(
+        f"/tmp/sniper_tpu_bench/pair_{size_mb}mb"
+    )
+    ensure_pair(d, size_mb * 1_000_000 // 2)
     genome = sum(
         int(l.split("\t")[1])
         for l in (d / "ref.fa.fai").read_text().splitlines()
@@ -115,18 +137,39 @@ def main() -> None:
     out2 = d / "out.jobs2.vcf"
     out1 = d / "out.jobs1.vcf"
 
-    wall2, rss2 = run_sampled(base[:-1] + ["--jobs", "2",
-                                           base[-1], str(out2)])
+    wall2, rss2, _ = run_sampled(base[:-1] + ["--jobs", "2",
+                                              base[-1], str(out2)])
     print(f"--jobs 2: {wall2:.1f}s  ({genome / wall2 / 1e6:.2f}M cols/s)  "
           f"peak RSS {max(rss2) / 1e6:.2f} GB", flush=True)
 
-    wall1, rss1 = run_sampled(base[:-1] + [base[-1], str(out1)])
+    wall1, rss1, _ = run_sampled(base[:-1] + [base[-1], str(out1)])
     print(f"single  : {wall1:.1f}s  ({genome / wall1 / 1e6:.2f}M cols/s)  "
           f"peak RSS {max(rss1) / 1e6:.2f} GB", flush=True)
 
     assert filtered_bytes(out1) == filtered_bytes(out2), \
         "--jobs 2 merge differs from single-process output"
     print("outputs byte-identical", flush=True)
+
+    # crash consistency: SIGKILL the whole process tree at ~50% of the
+    # measured wall, then resume from the per-window manifest; the
+    # final bytes must equal the uninterrupted run
+    out_r = d / "out.resume.vcf"
+    man = d / "resume.manifest.jsonl"
+    for p in (out_r, man):
+        if p.exists():
+            p.unlink()
+    cmd_r = base[:-1] + ["--manifest", str(man), base[-1], str(out_r)]
+    t_kill = max(5.0, wall1 * 0.5)
+    w_a, _, killed = run_sampled(cmd_r, kill_after=t_kill)
+    assert killed, "kill phase finished before the injection point"
+    print(f"killed at {w_a:.1f}s (~50%); resuming ...", flush=True)
+    w_b, rss_r, _ = run_sampled(cmd_r)
+    assert filtered_bytes(out_r) == filtered_bytes(out1), \
+        "resumed output differs from the uninterrupted run"
+    print(f"resume  : {w_b:.1f}s  resumed output byte-identical",
+          flush=True)
+    out_r.unlink()
+    man.unlink()
 
     for label, rss in (("jobs2", rss2), ("single", rss1)):
         body = rss[max(2, len(rss) // 5):]
