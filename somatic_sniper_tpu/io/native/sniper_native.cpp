@@ -2425,6 +2425,7 @@ int64_t paired_plan(const NativePileup* t, const NativePileup* n,
                     drop[(size_t)i] = 1;
                     continue;
                 }
+                if (!resolved_t) continue;  // proof-only: drop needs both
                 int32_t cns_n = -2;
                 if (cd.pure_n)
                     cns_n = cd.r16;

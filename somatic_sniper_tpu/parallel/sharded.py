@@ -260,9 +260,12 @@ def call_pair_windows(
             )
         return wi, win, [r for _, r in records]
 
+    from ..utils.stats import STATS
+
     for i, (wi, (tid, beg, end)) in enumerate(todo):
         f_t, f_n = inflight.pop(0)
-        pu_t, pu_n = f_t.result(), f_n.result()
+        with STATS.timer("load_wait"):
+            pu_t, pu_n = f_t.result(), f_n.result()
         j = i + LOOKAHEAD
         if j < len(todo):
             inflight.append(_submit_load(todo[j][1]))

@@ -96,12 +96,6 @@ class _Seg(NamedTuple):
     end: int
 
 
-class _Slab(NamedTuple):
-    segs: list
-    fut: object         # Future[(count, rows)] — background host fetch
-    fill: int           # rows actually used
-
-
 class _WindowState:
     __slots__ = ("wi", "win", "pu_t", "pu_n", "outstanding", "records")
 
@@ -112,6 +106,9 @@ class _WindowState:
         self.pu_n = pu_n
         self.outstanding = 0          # slabs (incl. the open one) pending
         self.records: list = []       # (key, record) accumulated
+        # ``outstanding`` is mutated from the main thread (+1 per slab
+        # contribution) and the collector thread (-1 per collected
+        # slab); SlabDispatcher._lock guards every mutation/read.
 
 
 class SlabDispatcher:
@@ -136,15 +133,21 @@ class SlabDispatcher:
         self.D: int | None = None
         self.max_live = max_live_windows
         self.order: deque[_WindowState] = deque()
-        self.queue: deque[_Slab] = deque()
-        # One background collector thread fetches results the moment a
-        # slab's compute lands (device_get releases the GIL): the
-        # ~0.5 s per-execute link latency measured on tunneled devices
-        # rides entirely under subsequent host work, and only a slab
-        # finishing at the very end of the run can block the driver.
+        self.queue: deque = deque()  # Futures of _fetch_and_emit, FIFO
+        # One background collector thread runs the whole per-slab
+        # collect — device fetch (device_get releases the GIL and does
+        # not spin), row decode, dqstats and text emission — so both
+        # the ~0.2-0.5 s per-execute tunnel latency AND the emit work
+        # ride under the main thread's plan/pad/load of later windows.
+        # This pipelining is the device path's structural advantage:
+        # results arrive asynchronously, so downstream record building
+        # needs no synchronization point at all.
         self._collector = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="slab-collect"
         )
+        import threading
+
+        self._lock = threading.Lock()
         # separate 1-thread pool for the tumor-side pad (the collector
         # thread can be blocked in a device fetch for ~0.5 s at a time)
         self._padpool = ThreadPoolExecutor(
@@ -236,7 +239,8 @@ class SlabDispatcher:
             self.segs.append(
                 _Seg(ws, np.ascontiguousarray(plan.keys[sel]), ref16, s, e)
             )
-            ws.outstanding += 1
+            with self._lock:
+                ws.outstanding += 1
             self.fill = e
             STATS.add("device_columns", b)
 
@@ -264,7 +268,8 @@ class SlabDispatcher:
                     rows, None, np.asarray(plan.ref16[sel], np.int64),
                     ws.pu_t, ws.pu_n, self.refcache, fmt=self.fmt,
                 )
-                ws.records.extend(recs)
+                with self._lock:
+                    ws.records.extend(recs)
 
     # -- dispatch / collect ----------------------------------------------
 
@@ -308,12 +313,9 @@ class SlabDispatcher:
                 res.count.copy_to_host_async()
             except Exception:
                 pass
-        from ..runner import _device_get_watched
-
-        fut = self._collector.submit(
-            _device_get_watched, (res.count, res.rows), "slab"
+        self.queue.append(
+            self._collector.submit(self._fetch_and_emit, self.segs, res)
         )
-        self.queue.append(_Slab(self.segs, fut, self.fill))
         STATS.add("slabs_dispatched", 1)
         STATS.add(
             "device_upload_bytes",
@@ -322,25 +324,30 @@ class SlabDispatcher:
         self._alloc()
 
     def _pump(self) -> None:
-        # drain every slab whose background fetch already landed; never
-        # block mid-run (finish() blocks for the rest)
-        while self.queue and self.queue[0].fut.done():
-            self._collect_one()
+        # discard finished collector tasks (propagating any exception);
+        # never block mid-run (finish() blocks for the rest)
+        while self.queue and self.queue[0].done():
+            self.queue.popleft().result()
 
-    def _collect_one(self) -> None:
-        from ..runner import _PlanBatch, emit_records_compact
+    def _fetch_and_emit(self, segs, res) -> None:
+        """Collector-thread task: fetch one slab's result and build its
+        records.  Runs entirely off the critical path."""
+        from ..runner import (_PlanBatch, _device_get_watched,
+                              emit_records_compact)
 
-        slab = self.queue.popleft()
-        with STATS.timer("device"):
-            cnt, rows_u8 = slab.fut.result()
+        with STATS.timer("device.fetch_bg"):
+            cnt, rows_u8 = _device_get_watched(
+                (res.count, res.rows), "slab"
+            )
         count = int(cnt)
         rows_u8 = np.asarray(rows_u8)[:count].astype(np.int32)
         # decode the byte-narrow layout: idx lo/hi bytes, then fields
         idx = rows_u8[:, 0] | (rows_u8[:, 1] << 8)
         rows = np.concatenate([idx[:, None], rows_u8[:, 2:]], axis=1)
-        for seg in slab.segs:
+        for seg in segs:
             lo = int(np.searchsorted(idx, seg.start))
             hi = int(np.searchsorted(idx, seg.end))
+            recs = []
             if hi > lo:
                 sub = rows[lo:hi].copy()
                 sub[:, 0] -= seg.start
@@ -350,15 +357,20 @@ class SlabDispatcher:
                         seg.ref16.astype(np.int64), seg.ws.pu_t,
                         seg.ws.pu_n, self.refcache, fmt=self.fmt,
                     )
-                seg.ws.records.extend(recs)
-            seg.ws.outstanding -= 1
+            with self._lock:
+                if recs:
+                    seg.ws.records.extend(recs)
+                seg.ws.outstanding -= 1
 
     # -- draining ----------------------------------------------------------
 
     def ready(self):
         """Yield (wi, win, records) for every completed prefix window."""
-        while self.order and self.order[0].outstanding == 0:
-            ws = self.order.popleft()
+        while True:
+            with self._lock:
+                if not self.order or self.order[0].outstanding != 0:
+                    return
+                ws = self.order.popleft()
             ws.records.sort(key=lambda kv: kv[0])
             STATS.add("records_emitted", len(ws.records))
             yield ws.wi, ws.win, [r for _, r in ws.records]
@@ -366,8 +378,9 @@ class SlabDispatcher:
     def finish(self):
         """Flush + collect everything; yield all remaining windows."""
         self._flush()
-        while self.queue:
-            self._collect_one()
+        with STATS.timer("device"):
+            while self.queue:
+                self.queue.popleft().result()
         self._collector.shutdown(wait=True)
         self._padpool.shutdown(wait=True)
         yield from self.ready()

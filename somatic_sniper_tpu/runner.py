@@ -46,21 +46,29 @@ from .pileup.columnize import (
 
 @dataclass
 class RefCache:
-    """Per-tid reference fetch cache (reference somatic_sniper.c:112-117)."""
+    """Per-tid reference fetch cache (reference somatic_sniper.c:112-117).
+
+    Thread-safe: the slab collector thread resolves reference chars for
+    emitted records concurrently with the main thread's deep-column
+    emission."""
 
     fasta: FastaFile | None
     header: BamHeader
 
     def __post_init__(self):
+        import threading
+
         self._tid = -1
         self._seq: bytes | None = None
+        self._lock = threading.Lock()
 
     def get(self, tid: int) -> bytes | None:
-        if tid != self._tid:
-            self._tid = tid
-            name = self.header.ref_names[tid]
-            self._seq = self.fasta.fetch(name) if self.fasta else None
-        return self._seq
+        with self._lock:
+            if tid != self._tid:
+                name = self.header.ref_names[tid]
+                self._seq = self.fasta.fetch(name) if self.fasta else None
+                self._tid = tid
+            return self._seq
 
 
 def _ref_arrays(batch: PairedBatch, refcache: RefCache):
