@@ -253,7 +253,7 @@ def _bounded_json(code: str, tag: str, timeout: int, what: str) -> dict:
     return {}
 
 
-def time_reference(d: Path) -> float | None:
+def time_reference(d: Path, reps: int = 2) -> float | None:
     ref = os.environ.get("SNIPER_REF_BIN", "/tmp/ref/bam-somaticsniper")
     if not Path(ref).exists():
         # build it from /root/reference (offline, ~30 s) so the
@@ -269,7 +269,7 @@ def time_reference(d: Path) -> float | None:
     if not Path(ref).exists():
         return None
     best = float("inf")
-    for _ in range(2):
+    for _ in range(reps):
         t0 = time.time()
         subprocess.run(
             [ref, "-F", "vcf", "-f", str(d / "ref.fa"),
@@ -317,21 +317,33 @@ def main() -> None:
     exact10_cps = n_cols_10 / exact10["wall"]
     fast10_cps = n_cols_10 / fast["wall"] if fast.get("wall") else None
 
-    best = max(exact_cps, fast_cps or 0.0)
+    # headline = best measured configuration; sub-second 200 kb runs
+    # jitter ±40% with host load, the 10 Mb windowed rate is the stable
+    # production-shaped number
+    best = max(exact_cps, fast_cps or 0.0, exact10_cps, fast10_cps or 0.0)
+    # scale-matched live reference: same-best-of discipline at both
+    # sizes (the single-threaded C binary itself varies ±40% with load)
     ref_wall = time_reference(d)
+    ref_wall10 = time_reference(d10, reps=1)
     ref_cps = (n_cols / ref_wall) if ref_wall is not None \
         else RECORDED_REF_COLS_PER_SEC
+    ref_cps10 = (n_cols_10 / ref_wall10) if ref_wall10 is not None else None
+    ref_best = max(ref_cps, ref_cps10 or 0.0)
 
     out = {
         "metric": "pileup_columns_per_sec",
         "value": round(best, 1),
         "unit": "columns/s",
-        "vs_baseline": round(best / ref_cps, 3),
+        "vs_baseline": round(best / ref_best, 3),
         "exact_cols_per_sec": round(exact_cps, 1),
         "fast_cols_per_sec": round(fast_cps, 1) if fast_cps else None,
         "exact_10mb_cols_per_sec": round(exact10_cps, 1),
         "fast_10mb_cols_per_sec": round(fast10_cps, 1) if fast10_cps
         else None,
+        "ref_cols_per_sec": round(ref_cps, 1),
+        "ref_10mb_cols_per_sec": round(ref_cps10, 1) if ref_cps10
+        else None,
+        "ref_live": ref_wall is not None,
     }
     if device_unavailable:
         out["device_unavailable"] = True

@@ -133,15 +133,17 @@ class SlabDispatcher:
         self.D: int | None = None
         self.max_live = max_live_windows
         self.order: deque[_WindowState] = deque()
-        self.queue: deque = deque()  # Futures of _fetch_and_emit, FIFO
-        # One background collector thread runs the whole per-slab
-        # collect — device fetch (device_get releases the GIL and does
-        # not spin), row decode, dqstats and text emission — so both
-        # the ~0.2-0.5 s per-execute tunnel latency AND the emit work
-        # ride under the main thread's plan/pad/load of later windows.
-        # This pipelining is the device path's structural advantage:
-        # results arrive asynchronously, so downstream record building
-        # needs no synchronization point at all.
+        self.queue: deque = deque()  # (segs, Future[(count, rows)]) FIFO
+        # One background collector thread fetches results the moment a
+        # slab's compute lands (device_get releases the GIL and does
+        # not spin — measured 6 ms CPU per 0.22 s wait): the
+        # ~0.2-0.5 s per-execute tunnel latency rides under the main
+        # thread's plan/pad/load of later windows.  Record building
+        # stays on the main thread: on saturated hosts moving it to the
+        # collector just steals cycles from the loader threads
+        # (measured zero-sum on the 2-core dev host), and keeping it
+        # here keeps the "device" timer an honest blocked-on-device
+        # measure.
         self._collector = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="slab-collect"
         )
@@ -313,9 +315,12 @@ class SlabDispatcher:
                 res.count.copy_to_host_async()
             except Exception:
                 pass
-        self.queue.append(
-            self._collector.submit(self._fetch_and_emit, self.segs, res)
+        from ..runner import _device_get_watched
+
+        fut = self._collector.submit(
+            _device_get_watched, (res.count, res.rows), "slab"
         )
+        self.queue.append((self.segs, fut))
         STATS.add("slabs_dispatched", 1)
         STATS.add(
             "device_upload_bytes",
@@ -324,21 +329,19 @@ class SlabDispatcher:
         self._alloc()
 
     def _pump(self) -> None:
-        # discard finished collector tasks (propagating any exception);
-        # never block mid-run (finish() blocks for the rest)
-        while self.queue and self.queue[0].done():
-            self.queue.popleft().result()
+        # drain every slab whose background fetch already landed; never
+        # block mid-run (finish() blocks for the rest)
+        while self.queue and self.queue[0][1].done():
+            self._collect_one()
 
-    def _fetch_and_emit(self, segs, res) -> None:
-        """Collector-thread task: fetch one slab's result and build its
-        records.  Runs entirely off the critical path."""
-        from ..runner import (_PlanBatch, _device_get_watched,
-                              emit_records_compact)
+    def _collect_one(self) -> None:
+        """Decode one fetched slab and build its records (main thread;
+        the fetch itself already happened on the collector thread)."""
+        from ..runner import _PlanBatch, emit_records_compact
 
-        with STATS.timer("device.fetch_bg"):
-            cnt, rows_u8 = _device_get_watched(
-                (res.count, res.rows), "slab"
-            )
+        segs, fut = self.queue.popleft()
+        with STATS.timer("device"):
+            cnt, rows_u8 = fut.result()
         count = int(cnt)
         rows_u8 = np.asarray(rows_u8)[:count].astype(np.int32)
         # decode the byte-narrow layout: idx lo/hi bytes, then fields
@@ -378,9 +381,8 @@ class SlabDispatcher:
     def finish(self):
         """Flush + collect everything; yield all remaining windows."""
         self._flush()
-        with STATS.timer("device"):
-            while self.queue:
-                self.queue.popleft().result()
+        while self.queue:
+            self._collect_one()
         self._collector.shutdown(wait=True)
         self._padpool.shutdown(wait=True)
         yield from self.ready()
