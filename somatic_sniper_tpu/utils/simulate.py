@@ -305,9 +305,27 @@ def simulate_pair_fast(outdir: str | Path, cfg: SimConfig = SimConfig()):
                 rid0 += m
         return b"".join(blobs)
 
-    # bench data: fastest BGZF level, block-parallel compression
-    write_bam(outdir / "tumor.bam", names, lengths,
-              make(tumor_v, cfg.seed + 1), level=1, threads=2)
-    write_bam(outdir / "normal.bam", names, lengths,
-              make(normal_v, cfg.seed + 2), level=1, threads=2)
+    # bench data: fastest BGZF level.  The two samples' read streams
+    # are independent given the (already generated) variant truth, so
+    # they generate in two forked processes — the record synthesis is
+    # single-thread numpy-RNG-bound and dominates wall time at WGS
+    # scale (identical RNG streams and bytes per sample either way).
+    import multiprocessing as mp
+
+    def _gen_one(sample_v, seed, path):
+        write_bam(path, names, lengths, make(sample_v, seed),
+                  level=1, threads=1)
+
+    ctx = mp.get_context("fork")
+    child = ctx.Process(
+        target=_gen_one, args=(normal_v, cfg.seed + 2,
+                               outdir / "normal.bam"),
+    )
+    child.start()
+    _gen_one(tumor_v, cfg.seed + 1, outdir / "tumor.bam")
+    child.join()
+    if child.exitcode != 0:
+        raise RuntimeError(
+            f"normal.bam generation failed (exit {child.exitcode})"
+        )
     return outdir
