@@ -442,7 +442,13 @@ def exact_records_native(
     by coordinate at the end like collect_pending."""
     from .io.native_api import exact_pair_rows
 
-    plan = make_plan(pu_t, pu_n, tabs, ref_blob, ref_off, prefilter)
+    # proof-only gate here too: exact_pair_rows applies the complete
+    # exact emission gate to every survivor, so the plan's extra f64
+    # dual-consensus evals only duplicate work (measured ~4% of wall at
+    # 10 Mb; outputs byte-identical across gate depths by construction,
+    # and tests/test_prefilter.py pins both)
+    plan = make_plan(pu_t, pu_n, tabs, ref_blob, ref_off, prefilter,
+                     cns_mode="proof")
     p = tabs.params
     with STATS.timer("score"):
         rows = exact_pair_rows(
