@@ -263,6 +263,12 @@ def call_batch_compact(
     K = min(max_emit, res.emit.shape[0])
     idx = jnp.nonzero(res.emit, size=K, fill_value=0)[0].astype(I32)
     if row_dtype == "u8":
+        # the lo/hi byte index split caps the batch axis at 2^16; a
+        # larger B would silently attribute emitted rows to the wrong
+        # columns (shapes are static, so this is a trace-time check)
+        assert res.emit.shape[0] <= 65536, (
+            f"row_dtype='u8' requires B <= 65536, got {res.emit.shape[0]}"
+        )
         u8 = jnp.uint8
         cols = [
             (idx & 0xFF).astype(u8), (idx >> 8).astype(u8),
@@ -324,6 +330,12 @@ def call_batch_packed(
     inside the jit (free fusion); ``meta[2] >> 24`` is an arithmetic
     shift but the ``& 0xFF`` mask recovers the unsigned byte.
     """
+    # the packed metadata layout dies above D = 255 (byte depth/count
+    # fields, 24-bit rms) — checked here at trace time so an out-of-
+    # bounds SNIPER_SLAB_D override fails loudly instead of corrupting
+    assert stacked.shape[2] <= 255, (
+        f"packed metadata requires D <= 255, got {stacked.shape[2]}"
+    )
     rms_t = meta[0] & 0xFFFFFF
     ref16 = (meta[0] >> 24) & 0xF
     rms_n = meta[1]

@@ -51,9 +51,23 @@ def merge_barrier(timeout_ms: int | None = None) -> None:
             )
         except ValueError:
             timeout_ms = 600000
-    from jax._src.distributed import global_state
+    # jax._src is private API (no public timeout-capable barrier exists
+    # as of jax 0.9): if an upgrade renames it, proceed WITHOUT the
+    # barrier rather than letting the except-Exception caller in
+    # cli/main.py misread every healthy merge as a dead worker (exit 3)
+    try:
+        from jax._src.distributed import global_state
+        client = getattr(global_state, "client", None)
+    except Exception:
+        import sys
 
-    client = getattr(global_state, "client", None)
+        print(
+            "somatic_sniper_tpu: distributed barrier API unavailable in "
+            "this jax version; merging without the pre-merge timeout "
+            "(a dead peer would hang the collective instead of failing "
+            "fast)", file=sys.stderr, flush=True,
+        )
+        return
     if client is None:  # single-process / uninitialized: nothing to sync
         return
     client.wait_at_barrier("sniper_merge", timeout_ms)
@@ -79,9 +93,15 @@ def collective_merge(
 
     chunk = chunk or _chunk_bytes()
     size = os.path.getsize(shard_path)
-    sizes = np.asarray(
-        mhu.process_allgather(np.array([size], np.int64))
-    ).reshape(-1)
+    # gather (size, my_chunk) together and agree on min(chunk): a
+    # SNIPER_MERGE_CHUNK that differs across pod hosts would otherwise
+    # make processes execute mismatched collective sequences (different
+    # buffer shapes / round counts) and hang or crash mid-merge
+    sz = np.asarray(
+        mhu.process_allgather(np.array([size, chunk], np.int64))
+    ).reshape(-1, 2)
+    sizes = sz[:, 0]
+    chunk = int(sz[:, 1].min())
     rounds = max(1, -(-int(sizes.max()) // chunk))
 
     spool_dir = None

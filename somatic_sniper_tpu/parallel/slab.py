@@ -62,11 +62,20 @@ DEFAULT_B = 32768
 COVER_TARGET = 0.995
 
 
+# hard bounds of the u8 compact row layout (models.somatic
+# CompactResult): the emitted-row batch index is split into lo/hi BYTES
+# (B > 65536 would silently alias row indices) and depth/count/rms
+# fields are packed into bytes / 24 bits (D > 255 would overflow them)
+MAX_B = 65536
+MAX_D = 255
+
+
 def slab_b() -> int:
     try:
-        return int(os.environ.get("SNIPER_SLAB_B", DEFAULT_B))
+        b = int(os.environ.get("SNIPER_SLAB_B", DEFAULT_B))
     except ValueError:
         return DEFAULT_B
+    return min(max(b, 1), MAX_B)
 
 
 def choose_d(dmax: np.ndarray) -> int | None:
@@ -76,7 +85,7 @@ def choose_d(dmax: np.ndarray) -> int | None:
     override = os.environ.get("SNIPER_SLAB_D")
     if override:
         try:
-            return int(override)
+            return min(max(int(override), 1), MAX_D)
         except ValueError:
             pass
     q = int(np.quantile(dmax, COVER_TARGET, method="lower"))

@@ -85,7 +85,11 @@ def main() -> int:
         tot_cov += cov
         tot_all += len(stmts)
 
-    lines = [f"{'file':60s} {'cov':>5s} {'stmt':>5s} {'pct':>6s}"]
+    args = sys.argv[1:] or ["tests/", "-q"]
+    lines = [
+        f"# pytest args: {' '.join(args)}   exit status: {rc}",
+        f"{'file':60s} {'cov':>5s} {'stmt':>5s} {'pct':>6s}",
+    ]
     for name, cov, n in rows:
         lines.append(f"{name:60s} {cov:5d} {n:5d} {100 * cov / n:5.1f}%")
     lines.append(
@@ -93,8 +97,40 @@ def main() -> int:
         f"{100 * tot_cov / max(tot_all, 1):5.1f}%"
     )
     report = "\n".join(lines)
-    (REPO / "coverage_report.txt").write_text(report + "\n")
     print(report)
+
+    # Self-check before writing the artifact.  A failed/aborted pytest
+    # run (collection error, usage error) executes only import-time
+    # lines and would produce a report that LOOKS like 5% coverage of a
+    # passing suite — exactly the false artifact committed in round 3.
+    # A full-suite run necessarily drives runner.py in-process via the
+    # e2e tests, so implausibly low core-module numbers mean the run is
+    # not what the report claims; refuse to publish it.
+    if rc != 0:
+        print(
+            f"coverage_run: pytest exited {rc}; NOT writing "
+            "coverage_report.txt (a report from a failed run is "
+            "misleading)", file=sys.stderr,
+        )
+        return rc or 1
+    full_suite = args[0].rstrip("/") == "tests"
+    if full_suite:
+        core = {
+            name: 100 * cov / n
+            for name, cov, n in rows
+            if name.endswith(("runner.py", "models/somatic.py",
+                              "cli/main.py"))
+        }
+        bad = {k: v for k, v in core.items() if v <= 30.0}
+        if bad:
+            print(
+                "coverage_run: implausible full-suite coverage "
+                f"({bad}); the e2e tests exercise these modules "
+                "in-process, so this run must be broken — NOT writing "
+                "coverage_report.txt", file=sys.stderr,
+            )
+            return 1
+    (REPO / "coverage_report.txt").write_text(report + "\n")
     return rc
 
 
