@@ -78,9 +78,33 @@ def slab_b() -> int:
     return min(max(b, 1), MAX_B)
 
 
+# D is pinned only after this much evidence (whichever comes first):
+# the round-3 design pinned D from the FIRST non-empty window, so a
+# shallow telomere window silently locked a small D and sent every
+# deeper column of the run to the host-side exact scorer
+D_SAMPLE_WINDOWS = 4
+D_SAMPLE_COLS = 16384
+# host-deep fraction that (a) triggers the one allowed mid-run depth
+# upgrade and (b) warns on stderr — above it, fast mode is quietly
+# degrading into mostly-host scoring
+DEEP_WARN_FRAC = 0.05
+
+
 def choose_d(dmax: np.ndarray) -> int | None:
     """Smallest allowed depth covering COVER_TARGET of the columns."""
     if len(dmax) == 0:
+        return None
+    hist = np.bincount(
+        np.minimum(np.asarray(dmax, np.int64), 256), minlength=257
+    )
+    return choose_d_hist(hist)
+
+
+def choose_d_hist(hist: np.ndarray) -> int | None:
+    """choose_d over an accumulated depth histogram (values clipped to
+    256); same quantile semantics as np.quantile(..., method="lower")."""
+    n = int(hist.sum())
+    if n == 0:
         return None
     override = os.environ.get("SNIPER_SLAB_D")
     if override:
@@ -88,7 +112,8 @@ def choose_d(dmax: np.ndarray) -> int | None:
             return min(max(int(override), 1), MAX_D)
         except ValueError:
             pass
-    q = int(np.quantile(dmax, COVER_TARGET, method="lower"))
+    idx = int(COVER_TARGET * (n - 1))
+    q = int(np.searchsorted(np.cumsum(hist), idx + 1))
     for d in ALLOWED_D:
         if q <= d:
             return d
@@ -168,6 +193,16 @@ class SlabDispatcher:
         self.segs: list[_Seg] = []
         self.stacked_h = None
         self.meta_h = None
+        # D selection state: windows stage (with an ``outstanding`` hold)
+        # until enough depth evidence accumulates, then D is pinned from
+        # the histogram; one later upgrade is allowed when the host-deep
+        # fraction shows the pick was unrepresentative
+        self._staged: list = []        # (ws, plan) awaiting D
+        self._dhist = np.zeros(257, np.int64)
+        self._total_cols = 0
+        self._deep_cols = 0
+        self._upgraded = False
+        self._warned_deep = False
 
     # -- filling ---------------------------------------------------------
 
@@ -185,35 +220,112 @@ class SlabDispatcher:
         n = len(plan.keys)
         if n:
             dmax = np.maximum(plan.d_t, plan.d_n)
-            if self.D is None:
-                self.D = choose_d(dmax)
-            deep = np.nonzero(dmax > self.D)[0]
-            shallow = (
-                np.nonzero(dmax <= self.D)[0] if len(deep) else None
+            self._dhist += np.bincount(
+                np.minimum(dmax.astype(np.int64), 256), minlength=257
             )
-            if len(deep):
-                self._host_deep(ws, plan, deep)
-            if self.stacked_h is None:
-                self._alloc()
-            pos, total = 0, (n - len(deep))
-            sh = shallow  # None means "all of plan"
-            while pos < total:
-                take = min(self.B - self.fill, total - pos)
-                sel = (
-                    np.arange(pos, pos + take, dtype=np.int64)
-                    if sh is None else np.ascontiguousarray(
-                        sh[pos:pos + take]
-                    )
-                )
-                self._write_part(ws, plan, sel)
-                pos += take
-                if self.fill == self.B:
-                    self._flush()
+            if self.D is None:
+                # stage until enough depth evidence: the hold keeps
+                # ready() from yielding the window before assignment
+                with self._lock:
+                    ws.outstanding += 1
+                self._staged.append((ws, plan))
+                if (
+                    self._dhist.sum() >= D_SAMPLE_COLS
+                    or len(self._staged) >= D_SAMPLE_WINDOWS
+                ):
+                    self._drain_staged()
+            else:
+                self._assign(ws, plan)
         if self.fill and len(self.order) >= self.max_live:
             # bound held-window memory on sparse data (WGS hom-ref seas
             # could otherwise pin hundreds of windows under one slab)
             self._flush()
         self._pump()
+
+    def _drain_staged(self) -> None:
+        """Pin D from the accumulated histogram; assign staged windows."""
+        self.D = choose_d_hist(self._dhist)
+        staged, self._staged = self._staged, []
+        for ws, plan in staged:
+            self._assign(ws, plan)
+            with self._lock:
+                ws.outstanding -= 1
+
+    def _assign(self, ws, plan) -> None:
+        n = len(plan.keys)
+        dmax = np.maximum(plan.d_t, plan.d_n)
+        deep = np.nonzero(dmax > self.D)[0]
+        self._total_cols += n
+        self._deep_cols += len(deep)
+        if len(deep) and self._maybe_upgrade_d():
+            old = len(deep)
+            deep = np.nonzero(dmax > self.D)[0]
+            self._deep_cols -= old - len(deep)
+        shallow = np.nonzero(dmax <= self.D)[0] if len(deep) else None
+        if len(deep):
+            self._host_deep(ws, plan, deep)
+        if self.stacked_h is None:
+            self._alloc()
+        pos, total = 0, (n - len(deep))
+        sh = shallow  # None means "all of plan"
+        while pos < total:
+            take = min(self.B - self.fill, total - pos)
+            sel = (
+                np.arange(pos, pos + take, dtype=np.int64)
+                if sh is None else np.ascontiguousarray(
+                    sh[pos:pos + take]
+                )
+            )
+            self._write_part(ws, plan, sel)
+            pos += take
+            if self.fill == self.B:
+                self._flush()
+
+    def _maybe_upgrade_d(self) -> bool:
+        """One mid-run depth upgrade when the pinned D proves too small.
+
+        A shallow early sample (low-coverage telomere windows) would
+        otherwise silently route every deeper column of the run to the
+        host-side exact scorer.  The upgrade costs one extra compiled
+        shape, paid only when >DEEP_WARN_FRAC of a meaningful sample is
+        already being scored host-side — at that point the executable
+        load is cheaper than hosting the tail forever.  Never fires
+        under an explicit SNIPER_SLAB_D override."""
+        if self._total_cols < D_SAMPLE_COLS:
+            return False
+        frac = self._deep_cols / self._total_cols
+        if frac <= DEEP_WARN_FRAC:
+            return False
+        if not self._warned_deep:
+            self._warned_deep = True
+            import sys
+
+            print(
+                f"somatic_sniper_tpu: {100 * frac:.1f}% of survivor "
+                f"columns exceed the slab depth D={self.D} and are "
+                "scored host-side", file=sys.stderr, flush=True,
+            )
+        if (
+            self._upgraded
+            or os.environ.get("SNIPER_SLAB_D")
+            or self.D >= ALLOWED_D[-1]
+        ):
+            return False
+        new_d = choose_d_hist(self._dhist)
+        if not new_d or new_d <= self.D:
+            return False
+        self._flush()  # the open slab still uses the old shape
+        import sys
+
+        print(
+            f"somatic_sniper_tpu: upgrading slab depth {self.D} -> "
+            f"{new_d} (one-time)", file=sys.stderr, flush=True,
+        )
+        self.D = new_d
+        self._upgraded = True
+        if self.stacked_h is not None:
+            self._alloc()  # reallocate the open slab at the new depth
+        return True
 
     def _write_part(self, ws, plan, sel) -> None:
         with STATS.timer("pad+dispatch"):
@@ -389,6 +501,8 @@ class SlabDispatcher:
 
     def finish(self):
         """Flush + collect everything; yield all remaining windows."""
+        if self._staged:
+            self._drain_staged()  # short runs: pin D from what we have
         self._flush()
         while self.queue:
             self._collect_one()
