@@ -8,17 +8,19 @@ has, SURVEY.md §7 "deterministic distributed merge").
 """
 
 import numpy as np
+import pytest
 
 from somatic_sniper_tpu import runner
+from somatic_sniper_tpu.models.tables import ModelParams
 from somatic_sniper_tpu.parallel.sharded import call_pair_windows
 from somatic_sniper_tpu.utils.stats import STATS
 
 
-def _lines_windowed(d, window_size, **kw):
+def _lines_windowed(d, window_size, fmt="vcf", **kw):
     out = []
     for _wi, _w, lines in call_pair_windows(
         str(d / "tumor.bam"), str(d / "normal.bam"), str(d / "ref.fa"),
-        precision="fast", fmt="vcf", window_size=window_size, **kw,
+        precision="fast", fmt=fmt, window_size=window_size, **kw,
     ):
         out.extend(lines)
     return out
@@ -81,3 +83,53 @@ def test_whole_file_and_windowed_agree(data_dir):
         )
     ]
     assert whole == _lines_windowed(d, 50_000)
+
+
+# non-default flag surface: joint priors (-J -s), LOH/GOR suppression
+# (-L -G), and the classic/bed formatters must all be packing-invariant
+# through the windowed slab dispatcher, not just default vcf
+FLAG_CASES = {
+    "joint": (ModelParams(use_joint_priors=True,
+                          somatic_mutation_rate=0.001), "vcf"),
+    "loh_gor": (ModelParams(include_loh=False, include_gor=False,
+                            min_somatic_qual=0), "vcf"),
+    "classic": (ModelParams(), "classic"),
+    "bed": (ModelParams(), "bed"),
+}
+
+
+@pytest.mark.parametrize("case", sorted(FLAG_CASES))
+def test_flag_surface_packing_invariant(monkeypatch, data_dir, case):
+    params, fmt = FLAG_CASES[case]
+    d = data_dir / "e2e" / "sim1"
+    baseline = _lines_windowed(d, 200_000, fmt=fmt, params=params)
+    assert baseline, case
+    monkeypatch.setenv("SNIPER_SLAB_B", "16")
+    got = _lines_windowed(d, 10_000, fmt=fmt, params=params)
+    assert got == baseline
+
+
+@pytest.mark.parametrize("case", sorted(FLAG_CASES))
+def test_mode_mix_ordering(monkeypatch, data_dir, case):
+    """A non-plannable window BETWEEN slab windows forces the windowed
+    driver through its mode-mix ordering guards (parallel/sharded.py):
+    the open slab dispatcher must be finished before the legacy-path
+    window yields, and records must stay in window order."""
+    params, fmt = FLAG_CASES[case]
+    d = data_dir / "e2e" / "sim1"
+    baseline = _lines_windowed(d, 2_000, fmt=fmt, params=params)
+
+    calls = {"n": 0}
+    orig = runner.can_plan
+
+    def flaky_can_plan(pu_t, pu_n, packed16):
+        calls["n"] += 1
+        if calls["n"] % 3 == 2:  # every 3rd window takes the legacy path
+            return False
+        return orig(pu_t, pu_n, packed16)
+
+    # patch the name the windowed driver imports
+    monkeypatch.setattr(runner, "can_plan", flaky_can_plan)
+    got = _lines_windowed(d, 2_000, fmt=fmt, params=params)
+    assert calls["n"] > 3, "fixture must span several windows"
+    assert got == baseline
