@@ -129,21 +129,31 @@ def _time_mode(d: Path, mode: str, reps: int = 6):
     return best, lines
 
 
-def _time_mode_windows(d: Path, mode: str, reps: int = 2) -> dict:
-    """Windowed-driver wall + stage stats at the 10 Mb scale."""
+def _time_mode_windows(d: Path, mode: str, reps: int = 2,
+                       lines_out: Path | None = None) -> dict:
+    """Windowed-driver wall + stage stats at the 10 Mb scale.  With
+    ``lines_out``, the warm-up run's output lines are saved (for the
+    cross-process fast-vs-exact contract diff)."""
     from somatic_sniper_tpu.parallel.sharded import call_pair_windows
     from somatic_sniper_tpu.utils.stats import STATS
 
     args = (str(d / "tumor.bam"), str(d / "normal.bam"),
             str(d / "ref.fa"))
 
-    def once():
+    def once(keep=False):
         t0 = time.time()
-        n = sum(1 for _ in call_pair_windows(*args, precision=mode,
-                                             fmt="vcf"))
-        return time.time() - t0, n
+        out = []
+        n = 0
+        for _wi, _w, lines in call_pair_windows(*args, precision=mode,
+                                                fmt="vcf"):
+            n += len(lines)
+            if keep:
+                out.extend(lines)
+        return time.time() - t0, out
 
-    once()  # warm-up
+    _, warm_lines = once(keep=lines_out is not None)  # warm-up
+    if lines_out is not None:
+        lines_out.write_text("\n".join(warm_lines) + "\n")
     best, stats = float("inf"), {}
     for _ in range(reps):
         s0 = STATS.snapshot()
@@ -178,12 +188,20 @@ def device_preflight(timeout_s: int = 90) -> bool:
         return False
 
 
-def _fast_phase_body(d200: Path, d10: Path) -> dict:
+def _fast_phase_body(d200: Path, d10: Path,
+                     exact10_lines: Path | None) -> dict:
     """Runs inside the bounded fast subprocess (see time_fast_phases)."""
     w200, fast_lines = _time_mode(d200, "fast")
-    out = {"w200": w200, **_time_mode_windows(d10, "fast")}
-    # On-hardware output contract: the timed fast output vs an exact
-    # (all-host, bit-identical-to-reference) run of the same pair.
+    fast10_lines = d10 / "bench.fast10.lines"
+    out = {"w200": w200,
+           **_time_mode_windows(d10, "fast", lines_out=fast10_lines)}
+    # On-hardware output contract, checked where the DEVICE actually
+    # ran: the 10 Mb windowed fast output vs the exact (all-host,
+    # bit-identical-to-reference) lines the parent saved.  The 200 kb
+    # pair sits below the latency-aware dispatch break-even and scores
+    # host-side by design, so a 200 kb-only diff would no longer
+    # exercise the compiled kernel.  The 200 kb diff is kept as a
+    # sanity check (exact host values satisfy the contract trivially).
     from somatic_sniper_tpu.runner import call_pair
     from somatic_sniper_tpu.utils.contract import diff_records
 
@@ -193,22 +211,34 @@ def _fast_phase_body(d200: Path, d10: Path) -> dict:
     ))
     try:
         tolerated = diff_records(fast_lines, exact_lines, "vcf")
+        n_diffs = len(tolerated)
+        if exact10_lines is not None and exact10_lines.exists():
+            tolerated10 = diff_records(
+                fast10_lines.read_text().splitlines(),
+                exact10_lines.read_text().splitlines(), "vcf",
+            )
+            n_diffs += len(tolerated10)
         out["contract_ok"] = True
-        out["contract_diffs"] = len(tolerated)
+        out["contract_diffs"] = n_diffs
     except AssertionError as e:
         out["contract_ok"] = False
         out["contract_error"] = str(e)[:300]
+    finally:
+        if fast10_lines.exists():
+            fast10_lines.unlink()
     return out
 
 
-def time_fast_phases(d200: Path, d10: Path) -> dict:
+def time_fast_phases(d200: Path, d10: Path,
+                     exact10_lines: Path | None) -> dict:
     """All fast e2e timings + the output contract, in one bounded
     subprocess."""
+    e10 = f"Path({str(exact10_lines)!r})" if exact10_lines else "None"
     code = (
         "import bench, json, os; from pathlib import Path; "
         "os.environ['SNIPER_STATS']='1'; "
         f"r = bench._fast_phase_body(Path({str(d200)!r}), "
-        f"Path({str(d10)!r})); "
+        f"Path({str(d10)!r}), {e10}); "
         "print('FASTJSON ' + json.dumps(r))"
     )
     return _bounded_json(
@@ -299,13 +329,14 @@ def main() -> None:
     n_cols_10 = count_columns(d10)
 
     exact_wall, _ = _time_mode(d, "exact")
-    exact10 = _time_mode_windows(d10, "exact")
+    exact10_lines = d10 / "bench.exact10.lines"
+    exact10 = _time_mode_windows(d10, "exact", lines_out=exact10_lines)
 
     fast, mfu = {}, {}
     device_unavailable = False
     if os.environ.get("SNIPER_BENCH_FAST", "1") != "0":
         if device_preflight():
-            fast = time_fast_phases(d, d10)
+            fast = time_fast_phases(d, d10, exact10_lines)
             mfu = time_mfu()
         else:
             device_unavailable = True
@@ -334,7 +365,17 @@ def main() -> None:
         "metric": "pileup_columns_per_sec",
         "value": round(best, 1),
         "unit": "columns/s",
+        # vs_baseline follows the live reference when it builds (same
+        # best-of discipline at both scales); vs_recorded pins the
+        # round-over-round comparable denominator (the 200 kb recorded
+        # measurement, fixed since round 1) and vs_live is explicit
         "vs_baseline": round(best / ref_best, 3),
+        "vs_recorded": round(best / RECORDED_REF_COLS_PER_SEC, 3),
+        "vs_live": (
+            round(best / max(ref_cps if ref_wall is not None else 0.0,
+                             ref_cps10 or 0.0), 3)
+            if ref_wall is not None or ref_cps10 else None
+        ),
         "exact_cols_per_sec": round(exact_cps, 1),
         "fast_cols_per_sec": round(fast_cps, 1) if fast_cps else None,
         "exact_10mb_cols_per_sec": round(exact10_cps, 1),

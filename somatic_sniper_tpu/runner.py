@@ -343,12 +343,31 @@ def call_pair(
         # bytes); the exact path needs the full u32 slots
         packed16 = precision == "fast" and ref_blob is not None
         if can_plan(pu_t, pu_n, packed16):
+            plan = make_plan(pu_t, pu_n, tabs, ref_blob, ref_off,
+                             prefilter, cns_mode="proof")
+            if (
+                len(plan.keys) < _device_min_cols()
+                and can_exact_native(pu_t, pu_n, ref_blob)
+            ):
+                # Latency-aware dispatch: the whole-file driver has no
+                # later host work to hide the device round trip under
+                # (the windowed driver does, and keeps the slab path
+                # unconditionally), so below the break-even batch size
+                # the accelerator's per-execute latency alone exceeds
+                # the host cost of scoring the survivors exactly.
+                # Exact values satisfy the fast contract by
+                # construction (same calls, zero phred drift).
+                records = exact_records_native(
+                    pu_t, pu_n, tabs, ref_blob, ref_off, refcache,
+                    prefilter, fmt=fmt, plan=plan,
+                )
+                for _, rec in records:
+                    yield rec
+                return
             # uniform-slab device path: one executable shape for the
             # whole run (see parallel.slab)
             from .parallel.slab import SlabDispatcher
 
-            plan = make_plan(pu_t, pu_n, tabs, ref_blob, ref_off,
-                             prefilter, cns_mode="proof")
             disp = SlabDispatcher(
                 lambda: get_device_tables(params, precision), tabs,
                 params, refcache, fmt=fmt,
@@ -430,9 +449,21 @@ class _PlanBatch(NamedTuple):
     keys: np.ndarray
 
 
+def _device_min_cols() -> int:
+    """Break-even survivor count below which the whole-file fast path
+    scores host-side instead of dispatching (SNIPER_DEVICE_MIN_COLS,
+    0 = always dispatch).  Default sized from the measured link: a
+    ~0.2-0.5 s per-execute round trip with nothing to hide it under vs
+    ~2 us/column of native exact host scoring."""
+    try:
+        return int(os.environ.get("SNIPER_DEVICE_MIN_COLS", "65536"))
+    except ValueError:
+        return 65536
+
+
 def exact_records_native(
     pu_t, pu_n, tabs, ref_blob, ref_off, refcache, prefilter: bool,
-    fmt: str | None = None,
+    fmt: str | None = None, plan=None,
 ) -> list[tuple[int, SniperRecord]]:
     """Exact mode entirely on the native layer: fused plan (intersect +
     prefilter + exact dual-consensus gate) then full per-column scoring
@@ -447,8 +478,9 @@ def exact_records_native(
     # dual-consensus evals only duplicate work (measured ~4% of wall at
     # 10 Mb; outputs byte-identical across gate depths by construction,
     # and tests/test_prefilter.py pins both)
-    plan = make_plan(pu_t, pu_n, tabs, ref_blob, ref_off, prefilter,
-                     cns_mode="proof")
+    if plan is None:
+        plan = make_plan(pu_t, pu_n, tabs, ref_blob, ref_off, prefilter,
+                         cns_mode="proof")
     p = tabs.params
     with STATS.timer("score"):
         rows = exact_pair_rows(

@@ -9,6 +9,11 @@ import os
 # SNIPER_TEST_PLATFORM overrides (e.g. "axon" to run the suite on TPU).
 _platform = os.environ.get("SNIPER_TEST_PLATFORM", "cpu")
 os.environ["JAX_PLATFORMS"] = _platform
+# The suite's fixtures are tiny; without this the latency-aware
+# whole-file dispatch would route every "fast" run host-side and the
+# device/slab paths would go untested (tests of the threshold itself
+# override it back).
+os.environ.setdefault("SNIPER_DEVICE_MIN_COLS", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

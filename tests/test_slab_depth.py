@@ -136,6 +136,28 @@ def test_shallow_first_window_no_upgrade_still_correct(
     diff_records(fast, exact, "vcf")
 
 
+def test_small_run_host_dispatch_threshold(monkeypatch, data_dir):
+    """Below SNIPER_DEVICE_MIN_COLS the whole-file fast driver scores
+    host-side (the unoverlapped device round trip cannot amortize);
+    records must be identical and nothing may reach the device."""
+    from somatic_sniper_tpu import runner
+
+    d = data_dir / "e2e" / "sim1"
+    args = (str(d / "tumor.bam"), str(d / "normal.bam"),
+            str(d / "ref.fa"))
+    baseline = list(runner.call_pair(*args, precision="fast", fmt="vcf"))
+
+    monkeypatch.setenv("SNIPER_DEVICE_MIN_COLS", "1000000")
+    s0 = STATS.snapshot()
+    got = list(runner.call_pair(*args, precision="fast", fmt="vcf"))
+    s1 = STATS.snapshot()
+    # exact host values satisfy the fast contract with zero drift, but
+    # phreds may differ from the device f32 path by the contract's +/-1
+    diff_records(got, baseline, "vcf")
+    dev = s1.get("device_columns", 0) - s0.get("device_columns", 0)
+    assert dev == 0, "threshold run must not dispatch to the device"
+
+
 def test_pinned_d_never_upgrades(monkeypatch, capfd, shallow_first_pair):
     """An explicit SNIPER_SLAB_D override must never be second-guessed."""
     d = shallow_first_pair
