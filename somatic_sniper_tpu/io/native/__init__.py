@@ -116,6 +116,22 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.slab_fill_pair.restype = None
+        lib.slab_fill_pair.argtypes = [
+            ctypes.POINTER(NativePileupStruct),
+            ctypes.POINTER(NativePileupStruct),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.pileup_flags.argtypes = [
             ctypes.POINTER(NativePileupStruct),
             ctypes.POINTER(ctypes.c_uint8),
@@ -215,6 +231,10 @@ def get_lib():
         lib.bam_record_table.argtypes = [ctypes.c_char_p, ctypes.c_int]
         lib.rec_table_destroy.argtypes = [
             ctypes.POINTER(NativeRecTableStruct)
+        ]
+        lib.sniper_prof.restype = None
+        lib.sniper_prof.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int,
         ]
         lib.sniper_last_error.restype = ctypes.c_char_p
         _lib = lib

@@ -17,6 +17,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -48,6 +49,25 @@ static bool read_file(const char* path, std::vector<uint8_t>& out) {
     fclose(f);
     return got == (size_t)sz;
 }
+
+// Load-phase wall-time accumulators (ns), summed across threads/calls:
+// 0 file-read, 1 bgzf-header-scan, 2 inflate, 3 record-scan/filter,
+// 4 pileup-build, 5 pure-flags.  Read+reset via sniper_prof (bench
+// attribution only — a handful of clock calls per window-load).
+static std::atomic<int64_t> g_prof[6];
+
+static inline int64_t now_ns() {
+    return std::chrono::duration_cast<std::chrono::nanoseconds>(
+               std::chrono::steady_clock::now().time_since_epoch())
+        .count();
+}
+
+struct ProfSpan {
+    int idx;
+    int64_t t0;
+    explicit ProfSpan(int i) : idx(i), t0(now_ns()) {}
+    ~ProfSpan() { g_prof[idx].fetch_add(now_ns() - t0); }
+};
 
 static uint16_t rd_u16(const uint8_t* p) {
     return (uint16_t)p[0] | ((uint16_t)p[1] << 8);
@@ -565,16 +585,20 @@ static bool region_scan(const char* path, const int64_t* chunks,
         if (span_end > fsize) span_end = fsize;
         if (span_end <= c_beg) continue;
         comp.resize((size_t)(span_end - c_beg));
-        fseek(f, c_beg, SEEK_SET);
-        if (fread(comp.data(), 1, comp.size(), f) != comp.size()) {
-            err = "short read (region span)";
-            fclose(f);
-            return false;
+        {
+            ProfSpan ps(0);
+            fseek(f, c_beg, SEEK_SET);
+            if (fread(comp.data(), 1, comp.size(), f) != comp.size()) {
+                err = "short read (region span)";
+                fclose(f);
+                return false;
+            }
         }
         int64_t last_block_usize = 0;
         std::vector<BgzfBlock> blocks;
         int64_t total = 0;
         {
+            ProfSpan ps(1);
             int64_t off = c_beg;
             const int64_t n_comp = (int64_t)comp.size();
             while (off <= last_needed) {
@@ -620,17 +644,22 @@ static bool region_scan(const char* path, const int64_t* chunks,
                     ok.store(false);
             }
         };
-        std::vector<std::thread> ts;
-        for (int t = 1; t < n_threads && (size_t)t < blocks.size(); ++t)
-            ts.emplace_back(worker);
-        worker();
-        for (auto& t : ts) t.join();
+        {
+            ProfSpan ps(2);
+            std::vector<std::thread> ts;
+            for (int t = 1;
+                 t < n_threads && (size_t)t < blocks.size(); ++t)
+                ts.emplace_back(worker);
+            worker();
+            for (auto& t : ts) t.join();
+        }
         if (!ok.load()) {
             err = "BGZF inflate failure (region)";
             fclose(f);
             return false;
         }
         // collect records in [u_beg, end-of-chunk minus trailing cut)
+        ProfSpan ps3(3);
         int64_t p = abase + u_beg;
         int64_t n = abase + total;
         // the chunk may end inside the last block at u_end
@@ -1265,12 +1294,18 @@ NativePileup* bam_load_pileup(const char* path, int n_threads,
                               const double* gmin, double margin) {
     try {
     std::vector<uint8_t> raw;
-    if (!read_file(path, raw)) {
-        g_err = std::string("cannot read ") + path;
-        return nullptr;
+    {
+        ProfSpan ps(0);
+        if (!read_file(path, raw)) {
+            g_err = std::string("cannot read ") + path;
+            return nullptr;
+        }
     }
     std::vector<uint8_t> buf;
-    if (!bgzf_decompress(raw, buf, n_threads, g_err)) return nullptr;
+    {
+        ProfSpan ps(2);
+        if (!bgzf_decompress(raw, buf, n_threads, g_err)) return nullptr;
+    }
     raw.clear();
     raw.shrink_to_fit();
     int64_t p = parse_bam_header(buf.data(), (int64_t)buf.size(), nullptr);
@@ -1282,25 +1317,33 @@ NativePileup* bam_load_pileup(const char* path, int n_threads,
     const int64_t n = (int64_t)buf.size();
     std::vector<int64_t> off;
     off.reserve((size_t)((n - p) / 100) + 16);
-    while (p + 4 <= n) {
-        int32_t bs = rd_i32(&buf[p]);
-        if (bs < 32 || p + 4 + bs > n ||
-            !record_layout_ok(&buf[p + 4], bs)) {
-            g_err = "truncated or corrupt BAM record";
+    {
+        ProfSpan ps(3);
+        while (p + 4 <= n) {
+            int32_t bs = rd_i32(&buf[p]);
+            if (bs < 32 || p + 4 + bs > n ||
+                !record_layout_ok(&buf[p + 4], bs)) {
+                g_err = "truncated or corrupt BAM record";
+                return nullptr;
+            }
+            off.push_back(p + 4);
+            p += 4 + bs;
+        }
+        if (p != n) {
+            g_err = "trailing bytes after last BAM record";
             return nullptr;
         }
-        off.push_back(p + 4);
-        p += 4 + bs;
-    }
-    if (p != n) {
-        g_err = "trailing bytes after last BAM record";
-        return nullptr;
     }
     BufReads rd{buf.data(), off.data(), (int64_t)off.size()};
-    NativePileup* np =
-        pileup_build_tpl(rd, flag_mask, mapq_thresh, -1, -1, -1);
-    if (np && ref16)
+    NativePileup* np;
+    {
+        ProfSpan ps(4);
+        np = pileup_build_tpl(rd, flag_mask, mapq_thresh, -1, -1, -1);
+    }
+    if (np && ref16) {
+        ProfSpan ps(5);
         fill_pure_flags(np, ref16, ref_off, n_ref, fk, gmin, margin);
+    }
     return np;
     } catch (const std::exception& e) {
         g_err = std::string("native load failed: ") + e.what();
@@ -1321,14 +1364,30 @@ NativePileup* bam_load_region_pileup(
                      all, kept, g_err))
         return nullptr;
     BufReads rd{all.data(), kept.data(), (int64_t)kept.size()};
-    NativePileup* np = pileup_build_tpl(rd, flag_mask, mapq_thresh, beg,
-                                        end, drop_first_end_le);
-    if (np && ref16)
+    NativePileup* np;
+    {
+        ProfSpan ps(4);
+        np = pileup_build_tpl(rd, flag_mask, mapq_thresh, beg, end,
+                              drop_first_end_le);
+    }
+    if (np && ref16) {
+        ProfSpan ps(5);
         fill_pure_flags(np, ref16, ref_off, n_ref, fk, gmin, margin);
+    }
     return np;
     } catch (const std::exception& e) {
         g_err = std::string("native load failed: ") + e.what();
         return nullptr;
+    }
+}
+
+// Load-phase profile: out[6] <- accumulated seconds
+// {read, bgzf_scan, inflate, record_scan, pileup_build, pure_flags};
+// reset != 0 zeroes the accumulators after reading.
+void sniper_prof(double* out, int reset) {
+    for (int i = 0; i < 6; ++i) {
+        out[i] = (double)g_prof[i].load() * 1e-9;
+        if (reset) g_prof[i].store(0);
     }
 }
 
@@ -1492,6 +1551,85 @@ void pileup_pad16(const NativePileup* np, const int64_t* col_idx,
         }
         out_nkeep[b] = (int32_t)k;
         out_rms[b] = (int32_t)rms;
+    }
+}
+
+// One column's compact u16 padding (pileup_pad16 semantics, factored
+// for the fused dual-sample slab fill below).
+static inline void pad16_one(const NativePileup* np, int64_t ci,
+                             int32_t rcode, int64_t D, int32_t cap_mapq,
+                             uint16_t* row, int32_t* nk, int32_t* rms) {
+    int64_t s = np->offsets[ci], e = np->offsets[ci + 1];
+    int64_t k = 0;
+    int64_t rm = 0;
+    for (int64_t i = s; i < e; ++i) {
+        uint32_t w = np->slots[i];
+        if ((w >> 21) & 1) continue;  // deletion
+        uint32_t mq = w & 0xFF;
+        uint32_t q = (w >> 8) & 0xFF;
+        uint32_t b16 = (w >> 16) & 0xF;
+        uint32_t strand = (w >> 20) & 1;
+        uint32_t code = b16 ? b16 : (uint32_t)rcode;
+        uint32_t base2;
+        switch (code) {
+            case 1: base2 = 0; break;
+            case 2: base2 = 1; break;
+            case 4: base2 = 2; break;
+            case 8: base2 = 3; break;
+            default: base2 = 0; break;  // ambiguous -> class A
+        }
+        uint32_t eff = q < mq ? q : mq;
+        if (eff < 4 && (q & 0x3F) != 0) eff = 4;
+        if (k < D)
+            row[k] = (uint16_t)(eff | (base2 << 8) | (strand << 10));
+        ++k;
+        int32_t m7 = (int32_t)(mq & 0x7F);
+        if (m7 > cap_mapq) m7 = cap_mapq;
+        rm += (int64_t)m7 * m7;
+    }
+    *nk = (int32_t)k;
+    *rms = (int32_t)rm;
+}
+
+// Fused dual-sample slab fill for the uniform-slab dispatcher
+// (parallel/slab.py): pads tumor AND normal columns and assembles the
+// bit-packed device metadata words (models/somatic.py call_batch_packed
+// layout) in one internally-threaded pass.  Replaces two pad calls plus
+// several numpy packing passes per slab part — the fast path's only net
+// host cost over exact mode at 10 Mb was dominated by exactly this.
+void slab_fill_pair(const NativePileup* t, const NativePileup* n,
+                    const int64_t* ti, const int64_t* ni,
+                    const int32_t* ref16, const int32_t* d_t,
+                    const int32_t* d_n, int64_t B, int64_t D,
+                    int32_t cap_mapq, uint16_t* out_t, uint16_t* out_n,
+                    int32_t* meta0, int32_t* meta1, int32_t* meta2) {
+    auto work = [&](int64_t lo, int64_t hi) {
+        memset(out_t + lo * D, 0, sizeof(uint16_t) * (size_t)(hi - lo) * D);
+        memset(out_n + lo * D, 0, sizeof(uint16_t) * (size_t)(hi - lo) * D);
+        for (int64_t b = lo; b < hi; ++b) {
+            int32_t nk_t, nk_n, rms_t, rms_n;
+            pad16_one(t, ti[b], ref16[b], D, cap_mapq, out_t + b * D,
+                      &nk_t, &rms_t);
+            pad16_one(n, ni[b], ref16[b], D, cap_mapq, out_n + b * D,
+                      &nk_n, &rms_n);
+            meta0[b] = (int32_t)((uint32_t)rms_t |
+                                 ((uint32_t)ref16[b] << 24));
+            meta1[b] = rms_n;
+            meta2[b] = (int32_t)((uint32_t)d_t[b] |
+                                 ((uint32_t)d_n[b] << 8) |
+                                 ((uint32_t)nk_t << 16) |
+                                 ((uint32_t)nk_n << 24));
+        }
+    };
+    int nt = (int)std::thread::hardware_concurrency();
+    if (nt > 2) nt = 2;
+    if (nt > 1 && B > 2048) {
+        int64_t mid = B / 2;
+        std::thread th(work, 0, mid);
+        work(mid, B);
+        th.join();
+    } else {
+        work(0, B);
     }
 }
 

@@ -40,6 +40,24 @@ def _flag_tail_args(flag_args):
     return tail, (blob, off, fk_c, gm_c)
 
 
+PROF_PHASES = ("read", "bgzf_scan", "inflate", "record_scan",
+               "pileup_build", "pure_flags")
+
+
+def load_prof(reset: bool = True) -> dict[str, float]:
+    """Accumulated native load-phase seconds since the last reset
+    (summed across loader threads; bench/diagnostic attribution)."""
+    lib = native.get_lib()
+    if lib is None:
+        return {}
+    out = np.zeros(6, np.float64)
+    lib.sniper_prof(
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        1 if reset else 0,
+    )
+    return dict(zip(PROF_PHASES, out.tolist()))
+
+
 def load_and_columnize(
     path: str,
     flag_mask: int = BAM_DEF_MASK,
@@ -246,6 +264,50 @@ def precomputed_pure(pu: ColumnarPileup) -> np.ndarray | None:
     if n == 0:
         return np.zeros(0, np.uint8)
     return np.ctypeslib.as_array(pc.pure, shape=(n,))
+
+
+def slab_fill_pair(
+    pu_t: ColumnarPileup,
+    pu_n: ColumnarPileup,
+    ti: np.ndarray,
+    ni: np.ndarray,
+    ref16: np.ndarray,
+    d_t: np.ndarray,
+    d_n: np.ndarray,
+    D: int,
+    cap_mapq: int,
+    out_t: np.ndarray,
+    out_n: np.ndarray,
+    meta0: np.ndarray,
+    meta1: np.ndarray,
+    meta2: np.ndarray,
+) -> None:
+    """Fused dual-sample pad + packed-metadata assembly into the
+    caller's slab buffers (see slab_fill_pair in the native source;
+    layout contract: models/somatic.py call_batch_packed).  All output
+    views must be C-contiguous."""
+    lib = pu_t.owner._lib
+    B = len(ti)
+    for a in (out_t, out_n, meta0, meta1, meta2):
+        assert a.flags.c_contiguous, "slab views must be contiguous"
+    assert out_t.dtype == np.uint16 and out_n.dtype == np.uint16
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    ti_c = np.ascontiguousarray(ti, np.int64)
+    ni_c = np.ascontiguousarray(ni, np.int64)
+    r16_c = np.ascontiguousarray(ref16, np.int32)
+    dt_c = np.ascontiguousarray(d_t, np.int32)
+    dn_c = np.ascontiguousarray(d_n, np.int32)
+    lib.slab_fill_pair(
+        pu_t.owner._ptr, pu_n.owner._ptr,
+        ti_c.ctypes.data_as(i64p), ni_c.ctypes.data_as(i64p),
+        r16_c.ctypes.data_as(i32p), dt_c.ctypes.data_as(i32p),
+        dn_c.ctypes.data_as(i32p), B, D, cap_mapq,
+        out_t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        out_n.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        meta0.ctypes.data_as(i32p), meta1.ctypes.data_as(i32p),
+        meta2.ctypes.data_as(i32p),
+    )
 
 
 def glf_cns(

@@ -184,11 +184,6 @@ class SlabDispatcher:
         import threading
 
         self._lock = threading.Lock()
-        # separate 1-thread pool for the tumor-side pad (the collector
-        # thread can be blocked in a device fetch for ~0.5 s at a time)
-        self._padpool = ThreadPoolExecutor(
-            max_workers=1, thread_name_prefix="slab-pad"
-        )
         self.fill = 0
         self.segs: list[_Seg] = []
         self.stacked_h = None
@@ -329,35 +324,24 @@ class SlabDispatcher:
 
     def _write_part(self, ws, plan, sel) -> None:
         with STATS.timer("pad+dispatch"):
+            from ..io.native_api import slab_fill_pair
+
             b = len(sel)
             s, e = self.fill, self.fill + b
             ref16 = np.ascontiguousarray(plan.ref16[sel])
-            nk_t = np.empty(b, np.int32)
-            nk_n = np.empty(b, np.int32)
-            cap = self.params.cap_mapq
-            # the two per-sample pads write disjoint buffers and the
-            # native call releases the GIL: run them concurrently
-            ti = np.ascontiguousarray(plan.ti[sel])
-            ni = np.ascontiguousarray(plan.ni[sel])
-            fut = self._padpool.submit(
-                ws.pu_t.owner.pad16_into, ti, ref16, self.D, cap,
-                self.stacked_h[0, s:e], nk_t, self.meta_h[0, s:e],
-            )
-            ws.pu_n.owner.pad16_into(
-                ni, ref16, self.D, cap,
-                self.stacked_h[1, s:e], nk_n, self.meta_h[1, s:e],
-            )
-            fut.result()
+            # one fused native call pads BOTH samples and assembles the
             # bit-packed metadata (models.somatic.call_batch_packed
-            # layout): rms_sum < 255*cap^2 < 2^24 for D <= 255, ref16
-            # rides bits 24-27 of row 0
-            self.meta_h[0, s:e] |= ref16.astype(np.int32) << 24
-            mv = self.meta_h.view(np.uint32)
-            mv[2, s:e] = (
-                plan.d_t[sel].astype(np.uint32)
-                | (plan.d_n[sel].astype(np.uint32) << 8)
-                | (nk_t.view(np.uint32) << 16)
-                | (nk_n.view(np.uint32) << 24)
+            # layout: rms_sum < 255*cap^2 < 2^24 for D <= 255, ref16 on
+            # bits 24-27 of row 0), internally threaded — the former
+            # two-pad + numpy-packing sequence was the fast path's
+            # dominant net host cost over exact mode at 10 Mb
+            slab_fill_pair(
+                ws.pu_t, ws.pu_n, plan.ti[sel], plan.ni[sel], ref16,
+                plan.d_t[sel], plan.d_n[sel], self.D,
+                self.params.cap_mapq,
+                self.stacked_h[0, s:e], self.stacked_h[1, s:e],
+                self.meta_h[0, s:e], self.meta_h[1, s:e],
+                self.meta_h[2, s:e],
             )
             self.segs.append(
                 _Seg(ws, np.ascontiguousarray(plan.keys[sel]), ref16, s, e)
@@ -507,6 +491,5 @@ class SlabDispatcher:
         while self.queue:
             self._collect_one()
         self._collector.shutdown(wait=True)
-        self._padpool.shutdown(wait=True)
         yield from self.ready()
         assert not self.order, "slab dispatcher left incomplete windows"
