@@ -35,7 +35,10 @@ def _bgzf_block(payload: bytes, level: int = 6) -> bytes:
 
 
 def bgzf_compress(data: bytes, block_size: int = 0xFF00, level: int = 6,
-                  threads: int = 1) -> bytes:
+                  threads: int = 1, eof: bool = True) -> bytes:
+    """``eof=False`` omits the trailing empty EOF block so multiple
+    compressed spans can be concatenated into one stream (BGZF members
+    are independent; used by the streaming writer below)."""
     spans = range(0, len(data), block_size)
     if threads > 1 and len(data) > (8 << 20):
         # BGZF blocks are independent; zlib releases the GIL
@@ -48,7 +51,8 @@ def bgzf_compress(data: bytes, block_size: int = 0xFF00, level: int = 6,
             ))
     else:
         out = [_bgzf_block(data[i : i + block_size], level) for i in spans]
-    out.append(BGZF_EOF)
+    if eof:
+        out.append(BGZF_EOF)
     return b"".join(out)
 
 
@@ -147,6 +151,11 @@ def encode_records_fixed(
     put_i32(24, np.full(n, -1))  # next_tid
     put_i32(28, np.full(n, -1))  # next_pos
     # tlen (32..35) stays 0
+    if rid0 + n > 10 ** (name_width - 1):
+        raise ValueError(
+            f"read id {rid0 + n - 1} does not fit name_width="
+            f"{name_width} (pass a wider name_width)"
+        )
     names = np.frombuffer(
         "".join(f"r{rid0 + i:0{name_width - 1}d}\x00" for i in range(n))
         .encode(),
@@ -166,15 +175,8 @@ def encode_records_fixed(
     return out.tobytes()
 
 
-def write_bam(
-    path: str | Path,
-    ref_names: list[str],
-    ref_lengths: list[int],
-    records: list[bytes] | bytes,
-    text: str | None = None,
-    level: int = 6,
-    threads: int = 1,
-) -> None:
+def bam_header_bytes(ref_names: list[str], ref_lengths: list[int],
+                     text: str | None = None) -> bytes:
     if text is None:
         text = "".join(
             f"@SQ\tSN:{n}\tLN:{l}\n" for n, l in zip(ref_names, ref_lengths)
@@ -185,5 +187,47 @@ def write_bam(
     for n, l in zip(ref_names, ref_lengths):
         nb = n.encode() + b"\x00"
         out += struct.pack("<i", len(nb)) + nb + struct.pack("<i", l)
+    return out
+
+
+def write_bam_stream(
+    path: str | Path,
+    ref_names: list[str],
+    ref_lengths: list[int],
+    blob_iter,
+    text: str | None = None,
+    level: int = 6,
+) -> None:
+    """Streaming BAM writer: compresses and writes each record blob as
+    it arrives instead of materializing the whole uncompressed stream
+    (WGS-scale generation held tens of GB in RAM through write_bam).
+    BGZF members are independent, so per-blob spans concatenate into
+    one valid stream; a short carry keeps full-size blocks at blob
+    boundaries."""
+    with open(Path(path), "wb") as fh:
+        fh.write(bgzf_compress(
+            bam_header_bytes(ref_names, ref_lengths, text),
+            level=level, eof=False,
+        ))
+        BS = 0xFF00
+        carry = b""
+        for blob in blob_iter:
+            data = carry + blob
+            cut = (len(data) // BS) * BS
+            fh.write(bgzf_compress(data[:cut], level=level, eof=False))
+            carry = data[cut:]
+        fh.write(bgzf_compress(carry, level=level, eof=True))
+
+
+def write_bam(
+    path: str | Path,
+    ref_names: list[str],
+    ref_lengths: list[int],
+    records: list[bytes] | bytes,
+    text: str | None = None,
+    level: int = 6,
+    threads: int = 1,
+) -> None:
+    out = bam_header_bytes(ref_names, ref_lengths, text)
     out += records if isinstance(records, bytes) else b"".join(records)
     Path(path).write_bytes(bgzf_compress(out, level=level, threads=threads))

@@ -263,20 +263,26 @@ def simulate_pair_fast(outdir: str | Path, cfg: SimConfig = SimConfig()):
     )
 
     from ..constants import NT16_TABLE
-    from ..io.bam_writer import encode_records_fixed
+    from ..io.bam_writer import encode_records_fixed, write_bam_stream
+
+    # read names stay fixed-width across the whole file: widen with the
+    # total read count (9 digits overflow above 100M reads, i.e. beyond
+    # ~330 Mb of genome at 30x; width is unchanged at the cached bench
+    # sizes so their bytes are stable)
+    n_per_contig = int(cfg.mean_depth * L / R)
+    name_width = max(9, 1 + len(str(cfg.n_contigs * n_per_contig)))
 
     def make(sample_v, seed):
-        # Chunked over reads: the monolithic [n, R] temporaries (f64
-        # random draws, int gpos) peaked at tens of GB on WGS-scale
-        # contigs and thrashed the page cache; 2M-read chunks keep the
-        # working set ~1 GB with identical output structure.
+        # Chunked generator over reads: the monolithic [n, R]
+        # temporaries (f64 random draws, int gpos) peaked at tens of GB
+        # on WGS-scale contigs; 2M-read chunks streamed straight into
+        # the BGZF writer keep the working set under ~1 GB.
         srng = np.random.default_rng(seed)
-        blobs = []
         rid0 = 0
         CHUNK = 2_000_000
         arange_r = np.arange(R, dtype=np.int32)
         for ci, nm in enumerate(names):
-            n = int(cfg.mean_depth * L / R)
+            n = n_per_contig
             starts = np.sort(srng.integers(0, L - R, n))
             ref = refs_u8[nm]
             vmask, valt, vvaf = sample_v[ci]
@@ -298,12 +304,12 @@ def simulate_pair_fast(outdir: str | Path, cfg: SimConfig = SimConfig()):
                 flags = np.where(
                     srng.random(m) < 0.5, BAM_FREVERSE, 0
                 ).astype(np.uint16)
-                blobs.append(encode_records_fixed(
+                yield encode_records_fixed(
                     ci, st, np.full(m, 60, np.uint8), flags,
-                    NT16_TABLE[seq], quals, R, rid0=rid0,
-                ))
+                    NT16_TABLE[seq], quals, R, name_width=name_width,
+                    rid0=rid0,
+                )
                 rid0 += m
-        return b"".join(blobs)
 
     # bench data: fastest BGZF level.  The two samples' read streams
     # are independent given the (already generated) variant truth, so
@@ -313,8 +319,8 @@ def simulate_pair_fast(outdir: str | Path, cfg: SimConfig = SimConfig()):
     import multiprocessing as mp
 
     def _gen_one(sample_v, seed, path):
-        write_bam(path, names, lengths, make(sample_v, seed),
-                  level=1, threads=1)
+        write_bam_stream(path, names, lengths, make(sample_v, seed),
+                         level=1)
 
     ctx = mp.get_context("fork")
     child = ctx.Process(
