@@ -528,22 +528,23 @@ def glfgen_batch(
             t = t + vals[:, k]
         return t
 
-    if precision == "exact":
-        # f64 path: table gathers (runs on CPU where gathers are cheap)
-        def coef_at(bar_e, tmp2):
-            return coef[bar_e, c_tot, tmp2]
+    # All ten genotype terms are evaluated in ONE batched table lookup
+    # (term axis t).  On the one-hot TPU path this is the difference
+    # between reading the [B, 60, NK] intermediate R once and reading it
+    # ten times: at the production slab shape R is ~0.5 GB, so the ten
+    # separate coef_at contractions of the round-3 kernel were
+    # HBM-bound on re-reads (measured 19.2 ms/slab vs a 0.22 ms compute
+    # bound).  One-hot weights make every contraction a single-nonzero
+    # sum, so batching cannot change any bit of the result.
+    if precision == "exact" or cols.slots.shape[1] > 64:
+        # f64 path / deep buckets: plain gathers (CPU gathers are cheap;
+        # on TPU the one-hot path's [B, 60, NK] intermediate stops
+        # paying for itself once NK outgrows VMEM-friendly sizes)
+        def coef_at_t(bar_e_t, tmp2_t):  # [B, T] -> [B, T]
+            return coef[bar_e_t, c_tot[:, None], tmp2_t]
 
-        def lhet_at(cj, ck):
-            return lhet[cj, ck]
-    elif cols.slots.shape[1] > 64:
-        # deep buckets: the one-hot path below materializes an
-        # [B, 60, NK] f32 intermediate (~1 GB at NK=129) — plain gathers
-        # (~14 ns/element) win once NK outgrows VMEM-friendly sizes
-        def coef_at(bar_e, tmp2):
-            return coef[bar_e, c_tot, tmp2]
-
-        def lhet_at(cj, ck):
-            return lhet[cj, ck]
+        def lhet_at_t(cj_t, ck_t):
+            return lhet[cj_t, ck_t]
     else:
         # TPU fast path, shallow buckets (the bulk of 30x data): vector
         # gathers serialize on TPU (~14 ns/elem); one-hot MXU
@@ -559,38 +560,57 @@ def glfgen_batch(
         # R[b, e, k] = coef[e+4, c_tot[b], k] — shared by all 10 terms
         R = jnp.einsum("bm,emk->bek", On_ct, coef_sub, precision=HI)
 
-        def coef_at(bar_e, tmp2):
-            oe = jax.nn.one_hot(bar_e - 4, 60, dtype=F32)
-            row = jnp.einsum("be,bek->bk", oe, R, precision=HI)
-            return (row * jax.nn.one_hot(tmp2, NK, dtype=F32)).sum(-1)
+        def coef_at_t(bar_e_t, tmp2_t):  # [B, T] -> [B, T]
+            oe = jax.nn.one_hot(bar_e_t - 4, 60, dtype=F32)
+            rows = jnp.einsum("bte,bek->btk", oe, R, precision=HI)
+            return (rows * jax.nn.one_hot(tmp2_t, NK, dtype=F32)).sum(-1)
 
-        def lhet_at(cj, ck):
-            row = jnp.einsum(
-                "bm,mk->bk", jax.nn.one_hot(cj, NK, dtype=F32), lhet_sub,
-                precision=HI,
+        def lhet_at_t(cj_t, ck_t):
+            rows = jnp.einsum(
+                "btm,mk->btk", jax.nn.one_hot(cj_t, NK, dtype=F32),
+                lhet_sub, precision=HI,
             )
-            return (row * jax.nn.one_hot(ck, NK, dtype=F32)).sum(-1)
+            return (rows * jax.nn.one_hot(ck_t, NK, dtype=F32)).sum(-1)
 
     def bar_e_of(tmp1, tmp3, tmp2):
         ratio = jnp.where(tmp2 > 0, tmp1 / jnp.where(tmp3 == 0, 1, tmp3), 0)
         be = _c_trunc_half(ratio.astype(acc_f))
         return jnp.clip(be, 4, 63)
 
-    for j in range(4):
-        tmp1 = others_sum(esum, (j,))
-        tmp3 = others_sum(fsum, (j,))
-        tmp2 = others_sum_i(c, (j,))
-        bar_e = bar_e_of(tmp1, tmp3, tmp2)
-        hom = (tmp1.astype(acc_f) + coef_at(bar_e, tmp2)).astype(F32)
-        hom = jnp.where(tmp2 > 0, hom, F32(0.0))
-        p = p.at[:, j, j].set(hom)
-        for k in range(j + 1, 4):
-            tmp1 = others_sum(esum, (j, k))
-            tmp3 = others_sum(fsum, (j, k))
-            tmp2 = others_sum_i(c, (j, k))
-            bar_e = bar_e_of(tmp1, tmp3, tmp2)
-            lh = (acc_f(-4.343) * lhet_at(c[:, j], c[:, k]))
-            het_full = ((lh + tmp1.astype(acc_f)) + coef_at(bar_e, tmp2)).astype(F32)
+    triu_jk = [(j, k) for j in range(4) for k in range(j, 4)]
+    tmp1a = jnp.stack(
+        [others_sum(esum, (j,) if j == k else (j, k)) for j, k in triu_jk],
+        axis=1,
+    )
+    tmp3a = jnp.stack(
+        [others_sum(fsum, (j,) if j == k else (j, k)) for j, k in triu_jk],
+        axis=1,
+    )
+    tmp2a = jnp.stack(
+        [others_sum_i(c, (j,) if j == k else (j, k)) for j, k in triu_jk],
+        axis=1,
+    )
+    bar_ea = bar_e_of(tmp1a, tmp3a, tmp2a)
+    coefa = coef_at_t(bar_ea, tmp2a)  # [B, 10]
+    het_jk = [(j, k) for j, k in triu_jk if j != k]
+    lheta = lhet_at_t(
+        jnp.stack([c[:, j] for j, _ in het_jk], axis=1),
+        jnp.stack([c[:, k] for _, k in het_jk], axis=1),
+    )  # [B, 6]
+
+    hi_t = 0
+    for t, (j, k) in enumerate(triu_jk):
+        tmp1 = tmp1a[:, t]
+        tmp2 = tmp2a[:, t]
+        cf = coefa[:, t]
+        if j == k:
+            hom = (tmp1.astype(acc_f) + cf).astype(F32)
+            hom = jnp.where(tmp2 > 0, hom, F32(0.0))
+            p = p.at[:, j, j].set(hom)
+        else:
+            lh = acc_f(-4.343) * lheta[:, hi_t]
+            hi_t += 1
+            het_full = ((lh + tmp1.astype(acc_f)) + cf).astype(F32)
             het_empty = lh.astype(F32)
             het = jnp.where(tmp2 > 0, het_full, het_empty)
             p = p.at[:, j, k].set(het)

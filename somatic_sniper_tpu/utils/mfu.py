@@ -26,11 +26,15 @@ The fast path (models/glfgen.py:443-597, fast branch) does, per sample:
 * rank accumulation: the Pallas kernel ranks by pairwise lane
   rotations, ~2 ops per ordered pair -> 2*D^2; plus ~32*D elementwise
   (fk exponent, masked class sums for esum/fsum/c).
-* likelihood assembly via one-hot MXU contractions (glfgen.py:554-572,
-  exact-in-f32 lookups because TPU vector gathers serialize):
+* likelihood assembly via one-hot MXU contractions (glfgen.py fast
+  branch, exact-in-f32 lookups because TPU vector gathers serialize):
   - R = einsum(one_hot(c_tot), coef[4:64,:NK,:NK]): 2*60*NK^2
-  - coef_at x10 (4 hom + 6 het): 10 * (2*60*NK + 2*NK)
-  - lhet_at x6: 6 * (2*NK^2 + 2*NK)
+  - coef terms, all 10 (4 hom + 6 het) batched into ONE einsum over the
+    term axis (round 4: the ten separate contractions re-read the
+    ~0.5 GB R intermediate ten times and were HBM-bound; batching
+    raised the measured (32768, 64) rate 1.71M -> 2.29M pair-cols/s):
+    10 * (2*60*NK + 2*NK)
+  - lhet terms x6 (same batching): 6 * (2*NK^2 + 2*NK)
   - scalar tails (others_sum, fix-p[k,k], quantization): ~300
 * consensus + somatic score (solo + joint 10x10 phred pipeline,
   models/{consensus,somatic}.py): ~800 per pair.
