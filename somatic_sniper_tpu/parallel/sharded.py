@@ -314,7 +314,8 @@ def call_pair_windows(
         else:
             deferred = (wi, (tid, beg, end), pu_t, pu_n, pending)
     if slab_disp is not None:
-        yield from slab_disp.finish()
+        with STATS.timer("tail"):
+            yield from slab_disp.finish()
     if deferred is not None:
         yield _collect(deferred)
     ex.shutdown(wait=True)

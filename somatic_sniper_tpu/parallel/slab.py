@@ -53,9 +53,15 @@ from ..utils.stats import STATS
 
 # Allowed slab depths: a coarse ladder so that nearby datasets (e.g. the
 # 200 kb and 10 Mb bench pairs, both 30x) land on the SAME shape and
-# share one executable within a process.
-ALLOWED_D = (16, 32, 64, 128)
-DEFAULT_B = 32768
+# share one executable within a process.  48 exists because ~30x data
+# (the dominant production coverage) has a dmax p99.5 of ~45-47: the
+# 32->64 jump overshot pad/upload/kernel volume by a third.
+ALLOWED_D = (16, 32, 48, 64, 128)
+# 16384 beats 32768 end-to-end on the tunneled dev host: the final
+# slab's unoverlapped round trip and its held-back windows' emit are
+# the fast path's tail, and both shrink with the slab (measured
+# 2026-08-21; mid-run dispatches are hidden either way).
+DEFAULT_B = 16384
 # fraction of survivor columns the slab depth must cover; the remainder
 # is scored host-side (exact), so this trades upload padding against
 # host math on the tail
@@ -383,47 +389,16 @@ class SlabDispatcher:
     def _flush(self) -> None:
         if self.fill == 0:
             return
-        import jax.numpy as jnp
-
-        from ..models.somatic import call_batch_packed
-        from ..runner import _shard_batch, data_mesh
-
-        dtabs = self.dtabs_fn()
-        p = dtabs.params
-        with STATS.timer("pad+dispatch"):
-            mesh = data_mesh()
-            if mesh is not None and self.B % mesh.size != 0:
-                mesh = None
-            with STATS.timer("pad+dispatch.upload"):
-                if mesh is not None:
-                    stacked = _shard_batch(self.stacked_h, mesh, 1)
-                    meta = _shard_batch(self.meta_h, mesh, 1)
-                else:
-                    stacked = jnp.asarray(self.stacked_h)
-                    meta = jnp.asarray(self.meta_h)
-            res = call_batch_packed(
-                stacked, meta, dtabs.fk, dtabs.coef, dtabs.lhet,
-                dtabs.solo_prior, dtabs.joint_prior, dtabs.qadd,
-                dtabs.q_r_int,
-                use_joint=p.use_joint_priors,
-                min_somatic_qual=p.min_somatic_qual,
-                include_loh=p.include_loh, include_gor=p.include_gor,
-                cap_mapq=p.cap_mapq, theta=p.theta, eta=p.eta,
-                # max_emit == B: no overflow fallback path (a refetch
-                # would need a second executable), every emitted row
-                # fits.  u8 rows: the device-to-host direction of
-                # tunneled links is the slow one (~10-20 MB/s measured);
-                # byte-narrow rows cut the per-slab result fetch ~3.8x.
-                max_emit=self.B, mesh=mesh, row_dtype="u8",
-            )
-            try:
-                res.count.copy_to_host_async()
-            except Exception:
-                pass
-        from ..runner import _device_get_watched
-
+        # The whole device interaction — upload, jit dispatch, fetch —
+        # runs on the single background device thread: through a
+        # tunneled link each dispatch RPC blocks the caller for tens of
+        # ms (measured ~0.18 s per 10 Mb run on the main thread, pure
+        # link latency, while the padded fill itself is ~0.07 s), and
+        # the main thread's plan/pad/emit work is the pipeline's
+        # critical path.  One thread keeps dispatch+fetch FIFO, so
+        # output order (and bytes) cannot change.
         fut = self._collector.submit(
-            _device_get_watched, (res.count, res.rows), "slab"
+            self._dispatch_and_fetch, self.stacked_h, self.meta_h
         )
         self.queue.append((self.segs, fut))
         STATS.add("slabs_dispatched", 1)
@@ -433,10 +408,61 @@ class SlabDispatcher:
         )
         self._alloc()
 
+    def _dispatch_and_fetch(self, stacked_h, meta_h):
+        """Upload one slab, dispatch the kernel, fetch the u8 result
+        (background device thread; buffers are owned by the caller and
+        never reused — _flush allocates fresh ones)."""
+        import jax.numpy as jnp
+
+        from ..models.somatic import call_batch_packed
+        from ..runner import _device_get_watched, _shard_batch, data_mesh
+
+        dtabs = self.dtabs_fn()
+        p = dtabs.params
+        mesh = data_mesh()
+        if mesh is not None and self.B % mesh.size != 0:
+            mesh = None
+        with STATS.timer("pad+dispatch.upload"):
+            if mesh is not None:
+                stacked = _shard_batch(stacked_h, mesh, 1)
+                meta = _shard_batch(meta_h, mesh, 1)
+            else:
+                stacked = jnp.asarray(stacked_h)
+                meta = jnp.asarray(meta_h)
+        res = call_batch_packed(
+            stacked, meta, dtabs.fk, dtabs.coef, dtabs.lhet,
+            dtabs.solo_prior, dtabs.joint_prior, dtabs.qadd,
+            dtabs.q_r_int,
+            use_joint=p.use_joint_priors,
+            min_somatic_qual=p.min_somatic_qual,
+            include_loh=p.include_loh, include_gor=p.include_gor,
+            cap_mapq=p.cap_mapq, theta=p.theta, eta=p.eta,
+            # max_emit == B: no overflow fallback path (a refetch
+            # would need a second executable), every emitted row
+            # fits.  u8 rows: the device-to-host direction of
+            # tunneled links is the slow one (~10-20 MB/s measured);
+            # byte-narrow rows cut the per-slab result fetch ~3.8x.
+            max_emit=self.B, mesh=mesh, row_dtype="u8",
+        )
+        try:
+            res.count.copy_to_host_async()
+        except Exception:
+            pass
+        return _device_get_watched((res.count, res.rows), "slab")
+
     def _pump(self) -> None:
-        # drain every slab whose background fetch already landed; never
-        # block mid-run (finish() blocks for the rest)
-        while self.queue and self.queue[0][1].done():
+        # Drain landed slabs, but deliberately keep ONE done-but-
+        # uncollected slab in the queue; never block mid-run.  Holding
+        # the newest landed slab back means finish() always has ~a
+        # slab's worth of decode+emit CPU work in hand to run UNDER the
+        # final partial slab's dispatch->fetch round trip (the tunnel's
+        # per-execute latency, ~0.2-0.5 s, was otherwise a pure blocked
+        # tail — the fast path's single largest net cost over exact
+        # mode).  Collection order stays FIFO, so output bytes are
+        # unchanged; the cost is one held rows buffer (~2 MB).
+        while (
+            len(self.queue) >= 2 and self.queue[0][1].done()
+        ):
             self._collect_one()
 
     def _collect_one(self) -> None:

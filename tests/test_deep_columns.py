@@ -63,9 +63,10 @@ def test_mostly_deep_run_host_dominates(monkeypatch, data_dir):
 def test_choose_d():
     assert slab.choose_d(np.array([], np.int32)) is None
     assert slab.choose_d(np.full(100, 30)) == 32
-    assert slab.choose_d(np.full(100, 33)) == 64
+    assert slab.choose_d(np.full(100, 33)) == 48
+    assert slab.choose_d(np.full(100, 50)) == 64
     # the tail beyond the coverage quantile does not widen the slab
     dm = np.r_[np.full(999, 40), np.array([5000])]
-    assert slab.choose_d(dm) == 64
+    assert slab.choose_d(dm) == 48
     # beyond the ladder: clamp to the widest slab (rest goes host-side)
     assert slab.choose_d(np.full(100, 500)) == 128
