@@ -143,9 +143,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "accelerator fabric (XLA all_gather, no shared "
                         "filesystem needed) and process 0 writes the "
                         "merged output [files]")
-    p.add_argument("--window-size", type=int, default=1_000_000,
+    p.add_argument("--window-size", type=int, default=250_000,
                    help="genome window length for the region-sharded "
-                        "streaming driver [1000000]")
+                        "streaming driver [250000]")
     p.add_argument("--stats", action="store_true",
                    help="print per-stage wall-clock/volume counters to "
                         "stderr at exit (also SNIPER_STATS=1); set "

@@ -15,11 +15,12 @@ window at a contig start cannot see locally — so the driver carries that
 value in via ``region_last_kept_start``.
 
 Windows must be longer than the longest read (columns of a quirk-dropped
-read must all fall in the contig's first window); the default 1 Mb is
-~4 orders of magnitude above short-read lengths (measured fastest for
-both precision modes on the dev host: finer windows overlap the
-prefetch loads with compute more smoothly, and the per-window plan/
-dispatch overhead only bites below ~0.5 Mb).
+read must all fall in the contig's first window); the default 250 kb is
+~3 orders of magnitude above short-read lengths and measured fastest
+for BOTH precision modes on the dev host (round 4, after the async
+device dispatch: 10 Mb pair best wall 5.3 s at 250 kb vs 6.0-6.3 s at
+1 Mb — finer windows pack the 2-core load/compute pipeline better, and
+the per-window plan/dispatch overhead stays negligible to ~125 kb).
 """
 
 from __future__ import annotations
@@ -37,7 +38,7 @@ from ..io.fasta import FastaFile
 from ..models.tables import ModelParams, build_tables
 from ..output.records import SniperRecord
 
-DEFAULT_WINDOW = 1_000_000
+DEFAULT_WINDOW = 250_000
 
 
 def genome_windows(
