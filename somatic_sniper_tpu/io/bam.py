@@ -247,27 +247,56 @@ def decode_bam(data: bytes) -> tuple[BamHeader, BamReads]:
     )
 
 
+def _iter_bgzf_inflated(fh):
+    """Inflate BGZF blocks one at a time from an open file — reads only
+    as many compressed bytes as consumed (the header parser needs the
+    first block or two of a possibly-multi-GB file)."""
+    import zlib
+
+    while True:
+        hdr = fh.read(12)
+        if len(hdr) < 12:
+            return
+        if hdr[:2] != b"\x1f\x8b":
+            raise ValueError("bad gzip magic (not BGZF)")
+        xlen = int.from_bytes(hdr[10:12], "little")
+        extra = fh.read(xlen)
+        bsize = None
+        i = 0
+        while i + 4 <= len(extra):
+            slen = int.from_bytes(extra[i + 2 : i + 4], "little")
+            if extra[i] == 0x42 and extra[i + 1] == 0x43 and slen == 2:
+                bsize = int.from_bytes(extra[i + 4 : i + 6], "little") + 1
+            i += 4 + slen
+        if bsize is None:
+            raise ValueError("missing BC subfield (not BGZF)")
+        rest = fh.read(bsize - 12 - xlen)
+        if len(rest) < bsize - 12 - xlen:
+            raise ValueError("truncated BGZF block")
+        yield zlib.decompress(rest[:-8], -15)
+
+
 def read_bam_header(path: str | Path) -> BamHeader:
-    """Parse only the BAM header (inflates just enough leading BGZF
-    blocks) — used by the region-sharded driver, which never touches the
-    record stream of blocks outside its windows."""
-    import gzip
+    """Parse only the BAM header, streaming: inflates just enough
+    leading BGZF blocks and never reads the rest of the file (the old
+    implementation slurped the WHOLE BAM and scanned every block header
+    — a 14.5 GB allocation and ~30 s per call on a WGS-scale input)."""
     import struct
 
-    from .bgzf import scan_blocks
-
-    raw = Path(path).read_bytes()
-    blocks = scan_blocks(raw)
+    fh = open(Path(path), "rb")
+    blocks = _iter_bgzf_inflated(fh)
     data = b""
-    bi = 0
+    done = False
 
     def need(n):
-        nonlocal data, bi
-        while len(data) < n and bi < len(blocks):
-            off, size = blocks[bi]
-            data += gzip.decompress(raw[off : off + size])
-            bi += 1
+        nonlocal data, done
+        while len(data) < n and not done:
+            try:
+                data += next(blocks)
+            except StopIteration:
+                done = True
         if len(data) < n:
+            fh.close()
             raise ValueError(f"{path}: truncated BAM header")
 
     need(12)
@@ -288,6 +317,7 @@ def read_bam_header(path: str | Path) -> BamHeader:
         (ln,) = struct.unpack_from("<i", data, p + 4 + l_name)
         lengths.append(ln)
         p += 8 + l_name
+    fh.close()
     return BamHeader(text=text, ref_names=names, ref_lengths=lengths)
 
 
