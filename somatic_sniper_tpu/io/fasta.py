@@ -24,13 +24,28 @@ class FaiEntry:
 class FastaFile:
     def __init__(self, path: str | Path):
         self.path = Path(path)
-        self._data = self.path.read_bytes()
+        # mmap instead of slurping: a WGS reference is ~3 GB and only
+        # the fetched contigs' pages ever need to be resident
+        import mmap
+
+        self._fh = open(self.path, "rb")
+        try:
+            self._data = mmap.mmap(
+                self._fh.fileno(), 0, access=mmap.ACCESS_READ
+            )
+        except ValueError:  # empty file: mmap cannot map length 0
+            self._data = b""
         fai = Path(str(self.path) + ".fai")
         if fai.exists():
             self.index = self._parse_fai(fai.read_text())
         else:
             self.index = self._build_index()
+        # bounded contig cache: callers fetch one contig at a time in
+        # coordinate order (RefCache mirrors the reference's per-tid
+        # cache); holding every fetched contig forever cost ~3 GB at
+        # WGS scale
         self._cache: dict[str, bytes] = {}
+        self._cache_max = 2
 
     @staticmethod
     def _parse_fai(text: str) -> dict[str, FaiEntry]:
@@ -97,5 +112,7 @@ class FastaFile:
         span = full_lines * e.line_width + rem
         raw = self._data[e.offset : e.offset + span]
         seq = raw.replace(b"\n", b"").replace(b"\r", b"")[: e.length]
+        while len(self._cache) >= self._cache_max:
+            self._cache.pop(next(iter(self._cache)))
         self._cache[name] = seq
         return seq
