@@ -174,16 +174,17 @@ class SlabDispatcher:
         self.max_live = max_live_windows
         self.order: deque[_WindowState] = deque()
         self.queue: deque = deque()  # (segs, Future[(count, rows)]) FIFO
-        # One background collector thread fetches results the moment a
-        # slab's compute lands (device_get releases the GIL and does
-        # not spin — measured 6 ms CPU per 0.22 s wait): the
-        # ~0.2-0.5 s per-execute tunnel latency rides under the main
-        # thread's plan/pad/load of later windows.  Record building
-        # stays on the main thread: on saturated hosts moving it to the
-        # collector just steals cycles from the loader threads
-        # (measured zero-sum on the 2-core dev host), and keeping it
-        # here keeps the "device" timer an honest blocked-on-device
-        # measure.
+        # One background device thread owns the whole device
+        # interaction per slab — upload, dispatch RPC, result fetch
+        # (see _dispatch_and_fetch): on tunneled links each dispatch
+        # blocks its caller for tens of ms of pure link latency, and
+        # device_get releases the GIL without spinning (measured 6 ms
+        # CPU per 0.22 s wait), so the ~0.2-0.5 s per-execute round
+        # trip rides entirely under the main thread's plan/fill/emit of
+        # later windows.  Record building stays on the main thread:
+        # moving it here measured zero-sum on saturated hosts, and
+        # keeping it there keeps the "device" timer an honest
+        # blocked-on-device measure.
         self._collector = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="slab-collect"
         )
