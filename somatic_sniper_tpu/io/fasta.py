@@ -12,6 +12,24 @@ from dataclasses import dataclass
 from pathlib import Path
 
 
+def _gunzip_all(raw: bytes) -> bytes:
+    """Decompress every gzip member; tolerate trailing non-gzip bytes
+    (a RAZF file ends with its random-access index after the stream)."""
+    import zlib
+
+    out = []
+    pos = 0
+    while pos + 2 <= len(raw) and raw[pos : pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        out.append(d.decompress(raw[pos:]))
+        out.append(d.flush())
+        consumed = len(raw) - pos - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+    return b"".join(out)
+
+
 @dataclass
 class FaiEntry:
     name: str
@@ -29,12 +47,25 @@ class FastaFile:
         import mmap
 
         self._fh = open(self.path, "rb")
-        try:
-            self._data = mmap.mmap(
-                self._fh.fileno(), 0, access=mmap.ACCESS_READ
-            )
-        except ValueError:  # empty file: mmap cannot map length 0
-            self._data = b""
+        magic = self._fh.read(2)
+        self._fh.seek(0)
+        if magic == b"\x1f\x8b":
+            # razip/gzip-compressed FASTA (reference vendor razf.c,
+            # consumed via faidx.c): a RAZF file is a gzip-conformant
+            # deflate stream with a trailing random-access index after
+            # the compressed data.  The .fai offsets refer to the
+            # UNCOMPRESSED text either way, so full decompression (the
+            # index and any trailing bytes ignored) restores exactly
+            # the byte layout the index describes.  Legacy opt-in
+            # format: held in memory, not mmapped.
+            self._data = _gunzip_all(self._fh.read())
+        else:
+            try:
+                self._data = mmap.mmap(
+                    self._fh.fileno(), 0, access=mmap.ACCESS_READ
+                )
+            except ValueError:  # empty file: mmap cannot map length 0
+                self._data = b""
         fai = Path(str(self.path) + ".fai")
         if fai.exists():
             self.index = self._parse_fai(fai.read_text())
