@@ -562,8 +562,8 @@ def glfgen_batch(
 
         def coef_at_t(bar_e_t, tmp2_t):  # [B, T] -> [B, T]
             oe = jax.nn.one_hot(bar_e_t - 4, 60, dtype=F32)
-            rows = jnp.einsum("bte,bek->btk", oe, R, precision=HI)
-            return (rows * jax.nn.one_hot(tmp2_t, NK, dtype=F32)).sum(-1)
+            ok = jax.nn.one_hot(tmp2_t, NK, dtype=F32)
+            return jnp.einsum("bte,bek,btk->bt", oe, R, ok, precision=HI)
 
         def lhet_at_t(cj_t, ck_t):
             rows = jnp.einsum(
