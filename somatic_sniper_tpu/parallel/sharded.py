@@ -221,10 +221,16 @@ def call_pair_windows(
     # native loader releases the GIL).  --jobs sets it to 1 for its
     # workers when N workers x 2 load threads would oversubscribe the
     # host cores (the measured failure mode of round 2's --jobs).
+    # Default scales with the host: cores minus the main + device
+    # threads, in [2, 6] (2 on the 2-vCPU dev host — the measured
+    # optimum there; larger hosts keep more window loads in flight).
+    default_pool = max(2, min(6, (os.cpu_count() or 2) - 2))
     try:
-        pool_n = max(1, int(os.environ.get("SNIPER_LOAD_POOL", "2")))
+        pool_n = max(1, int(
+            os.environ.get("SNIPER_LOAD_POOL", str(default_pool))
+        ))
     except ValueError:
-        pool_n = 2
+        pool_n = default_pool
     ex = ThreadPoolExecutor(max_workers=pool_n)
 
     def _submit_load(win):
@@ -237,7 +243,10 @@ def call_pair_windows(
     # two-window lookahead keeps the load pool fed while the current
     # window computes (one-deep starves when compute is faster than the
     # pair of loads; the pool still bounds thread concurrency)
-    LOOKAHEAD = 2
+    # two-window lookahead on small hosts; deeper when the load pool
+    # has threads to feed (each in-flight window pair holds ~50-100 MB
+    # of pileup at the default window size)
+    LOOKAHEAD = 2 if pool_n <= 2 else (pool_n + 1) // 2 + 1
     inflight: list = [
         _submit_load(w) for _, w in todo[:LOOKAHEAD]
     ]
