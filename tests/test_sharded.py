@@ -47,6 +47,18 @@ def test_sharded_equals_whole_file(data_dir):
     assert whole == sharded
 
 
+def test_load_pool_size_invariant(monkeypatch, data_dir):
+    """The region-load pool width / lookahead depth (host-core scaled)
+    must never change output — loads land out of order by design."""
+    args = _args(data_dir)
+    params = ModelParams(min_somatic_qual=0)
+    monkeypatch.setenv("SNIPER_LOAD_POOL", "1")
+    one = list(call_pair_sharded(*args, params=params, window_size=700))
+    monkeypatch.setenv("SNIPER_LOAD_POOL", "5")
+    five = list(call_pair_sharded(*args, params=params, window_size=700))
+    assert one == five and one
+
+
 def test_shard_slices_concatenate(data_dir):
     args = _args(data_dir)
     params = ModelParams()
