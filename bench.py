@@ -129,7 +129,7 @@ def _time_mode(d: Path, mode: str, reps: int = 6):
     return best, lines
 
 
-def _time_mode_windows(d: Path, mode: str, reps: int = 2,
+def _time_mode_windows(d: Path, mode: str, reps: int = 3,
                        lines_out: Path | None = None) -> dict:
     """Windowed-driver wall + stage stats at the 10 Mb scale.  With
     ``lines_out``, the warm-up run's output lines are saved (for the
