@@ -69,6 +69,20 @@ int main(int argc, char** argv) {
         buckets, 4, keys.data(), ti.data(), ni.data(),
         dt.data(), dn.data(), rr.data(), goff.data());
 
+    // fused dual-sample slab fill (round-4 fast-path entrypoint)
+    {
+        int64_t Bp = pt->n_cols < pn->n_cols ? pt->n_cols : pn->n_cols;
+        if (Bp > 48) Bp = 48;
+        std::vector<int64_t> tix(Bp), nix(Bp);
+        for (int64_t i = 0; i < Bp; ++i) tix[i] = nix[i] = i;
+        std::vector<int32_t> rf(Bp, 1), dts(Bp, 3), dns(Bp, 3);
+        std::vector<uint16_t> st(Bp * 32), sn(Bp * 32);
+        std::vector<int32_t> m0(Bp), m1(Bp), m2(Bp);
+        slab_fill_pair(pt, pn, tix.data(), nix.data(), rf.data(),
+                       dts.data(), dns.data(), Bp, 32, 60, st.data(),
+                       sn.data(), m0.data(), m1.data(), m2.data());
+    }
+
     // exact consensus debug surface over the padded columns
     std::vector<int32_t> cns(B), keep(B);
     glf_cns_batch(pt, ci.data(), B, r16.data(), coef.data(), lhet.data(),
