@@ -232,6 +232,20 @@ def get_lib():
         lib.rec_table_destroy.argtypes = [
             ctypes.POINTER(NativeRecTableStruct)
         ]
+        lib.emit_lines.restype = ctypes.c_int64
+        lib.emit_lines.argtypes = [
+            ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_char), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.sniper_prof.restype = None
         lib.sniper_prof.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int,

@@ -2659,4 +2659,286 @@ int64_t paired_plan(const NativePileup* t, const NativePileup* n,
     return n_keep;
 }
 
+// ---- bulk text emission ----------------------------------------------------
+//
+// Native replication of output/fast_emit.py's line builders (themselves
+// byte-identical to the reference writers output_classic.c /
+// output_vcf.c / output_bed.c — see output/formatters.py for the
+// field-by-field citations).  Emitted-site text formatting was ~25% of
+// the exact-mode main thread at 10 Mb when done with Python f-strings;
+// this renders all K lines in one C pass into a caller-provided buffer.
+
+static inline char* emit_put_u64(char* p, uint64_t v) {
+    char tmp[20];
+    int n = 0;
+    do {
+        tmp[n++] = (char)('0' + (v % 10));
+        v /= 10;
+    } while (v);
+    while (n) *p++ = tmp[--n];
+    return p;
+}
+
+static inline char* emit_put_i64(char* p, int64_t v) {
+    if (v < 0) {
+        *p++ = '-';
+        return emit_put_u64(p, (uint64_t)(-v));
+    }
+    return emit_put_u64(p, (uint64_t)v);
+}
+
+// print_mean_quality_values / print_base_count (reference dqstats.c:
+// 55-88): comma-joined row[off+i] for set bits i of bases; "0" if none.
+static inline char* emit_mv(char* p, int64_t bases, const int32_t* row,
+                            int off) {
+    int b = (int)(bases & 0xF);
+    if (b == 0) {
+        *p++ = '0';
+        return p;
+    }
+    bool first = true;
+    for (int i = 0; i < 4; ++i) {
+        if (!(b & (1 << i))) continue;
+        if (!first) *p++ = ',';
+        first = false;
+        p = emit_put_i64(p, row[off + i]);
+    }
+    return p;
+}
+
+// output_vcf_gt (reference output_vcf.c:46-79); matches
+// output/formatters._vcf_gt exactly (incl. the no-'/'-before-first
+// allele join order).
+static inline char* emit_vcf_gt(char* p, int64_t ref_base, int64_t alts,
+                                int64_t gt) {
+    int allele_count = __builtin_popcount((unsigned)(gt & 0xF));
+    int out_count = 0;
+    if (gt & ref_base) {
+        if (allele_count == 1) {
+            *p++ = '0';
+            *p++ = '/';
+            *p++ = '0';
+            return p;
+        }
+        *p++ = '0';
+        ++out_count;
+    }
+    gt &= ~ref_base;
+    int allele_idx = 0;
+    for (int i = 0; i < 4; ++i) {
+        int value = 1 << i;
+        if (alts & value) ++allele_idx;
+        if (gt & value) {
+            if (allele_count == 1) {
+                *p++ = (char)('0' + allele_idx);
+                *p++ = '/';
+                *p++ = (char)('0' + allele_idx);
+                return p;
+            }
+            if (out_count > 0) *p++ = '/';
+            *p++ = (char)('0' + allele_idx);
+            ++out_count;
+        }
+    }
+    return p;
+}
+
+// output_vcf_sample (reference output_vcf.c:81-133) over a raw
+// [18] dqstats row; ssc < 0 prints '.' (the NORMAL sample).
+static inline char* emit_vcf_sample(char* p, int64_t ref4, int64_t alts,
+                                    int64_t gt_i, int64_t jgt, int64_t jcq,
+                                    int64_t cq, int64_t vaq, int64_t ssc,
+                                    int64_t st, const int32_t* d) {
+    if (jgt) {
+        p = emit_vcf_gt(p, ref4, alts, jgt);
+        *p++ = ':';
+        p = emit_vcf_gt(p, ref4, alts, gt_i);
+    } else {
+        p = emit_vcf_gt(p, ref4, alts, gt_i);
+        *p++ = ':';
+        p = emit_vcf_gt(p, ref4, alts, gt_i);
+    }
+    *p++ = ':';
+    p = emit_put_i64(p, d[16]);
+    *p++ = ':';
+    for (int i = 12; i < 16; ++i) {
+        p = emit_put_i64(p, d[i]);
+        if (i < 15) *p++ = ',';
+    }
+    *p++ = ':';
+    for (int i = 8; i < 12; ++i) {
+        p = emit_put_i64(p, d[i]);
+        if (i < 11) *p++ = ',';
+    }
+    *p++ = ':';
+    p = emit_put_i64(p, cq);
+    *p++ = ':';
+    if (jgt)
+        p = emit_put_i64(p, jcq);
+    else
+        *p++ = '.';
+    *p++ = ':';
+    p = emit_put_i64(p, vaq);
+    *p++ = ':';
+    p = emit_mv(p, gt_i, d, 0);
+    *p++ = ':';
+    p = emit_put_i64(p, d[17]);
+    *p++ = ':';
+    p = emit_mv(p, gt_i, d, 4);
+    *p++ = ':';
+    p = emit_put_i64(p, st);
+    *p++ = ':';
+    if (ssc >= 0)
+        p = emit_put_i64(p, ssc);
+    else
+        *p++ = '.';
+    return p;
+}
+
+// Field order = models/somatic.COMPACT_FIELDS.
+enum {
+    EF_TGT = 0, EF_NGT, EF_TCQ, EF_NCQ, EF_TVAQ, EF_NVAQ, EF_SCORE,
+    EF_TJGT, EF_NJGT, EF_JCQ, EF_TST, EF_NST,
+};
+
+// Render K output lines (fmt 0=classic 1=vcf 2=bed) into out[cap].
+// names_blob/names_off: contig-name bytes indexed per row via tids.
+// fields: [K, nf] int64 in COMPACT_FIELDS order; rows_t/rows_n:
+// [K, 18] dqstats rows (pileup_dqstats layout).  line_off receives
+// K+1 byte offsets.  Returns total bytes written, or -1 when the
+// buffer may be too small (caller grows and retries).
+int64_t emit_lines(int32_t fmt, int64_t K, const char* names_blob,
+                   const int64_t* names_off, const int64_t* tids,
+                   const int64_t* poss, const int32_t* chars,
+                   const int32_t* rb4, const int64_t* fields, int64_t nf,
+                   const int32_t* rows_t, const int32_t* rows_n, char* out,
+                   int64_t cap, int64_t* line_off) {
+    static const char NT16_REV[17] = "=ACMGRSVTWYHKDBN";
+    char* p = out;
+    for (int64_t k = 0; k < K; ++k) {
+        const int64_t* f = fields + k * nf;
+        const int32_t* rt = rows_t + k * 18;
+        const int32_t* rn = rows_n + k * 18;
+        const int64_t tid = tids[k];
+        const char* name = names_blob + names_off[tid];
+        const int64_t name_len = names_off[tid + 1] - names_off[tid];
+        // conservative per-line bound: 26 numeric fields x 21 chars,
+        // separators, two 13-field VCF samples, etc. all fit in 700
+        if ((p - out) + name_len + 700 > cap) return -1;
+        line_off[k] = p - out;
+        const int64_t r4 = rb4[k];
+        const int64_t tg = f[EF_TGT], ng = f[EF_NGT];
+        if (fmt == 2) {  // bed (output_bed.c)
+            memcpy(p, name, (size_t)name_len);
+            p += name_len;
+            *p++ = '\t';
+            p = emit_put_i64(p, poss[k]);
+            *p++ = '\t';
+            p = emit_put_i64(p, poss[k] + 1);
+            *p++ = '\t';
+            *p++ = (char)chars[k];
+            *p++ = '/';
+            *p++ = NT16_REV[tg & 0xF];
+            *p++ = '\t';
+            p = emit_put_i64(p, f[EF_SCORE]);
+            *p++ = '\t';
+            p = emit_put_i64(p, rt[16]);
+            *p++ = '\n';
+            continue;
+        }
+        if (fmt == 1) {  // vcf (output_vcf.c)
+            const int64_t alts = (tg | ng) & ~r4 & 0xF;
+            memcpy(p, name, (size_t)name_len);
+            p += name_len;
+            *p++ = '\t';
+            p = emit_put_i64(p, poss[k] + 1);
+            *p++ = '\t';
+            *p++ = '.';
+            *p++ = '\t';
+            *p++ = (char)chars[k];
+            *p++ = '\t';
+            if (alts == 0) {
+                *p++ = '.';
+            } else {
+                bool first = true;
+                for (int i = 0; i < 4; ++i) {
+                    if (!(alts & (1 << i))) continue;
+                    if (!first) *p++ = ',';
+                    first = false;
+                    *p++ = "ACGT"[i];
+                }
+            }
+            static const char FMT[] =
+                "\t.\t.\t.\tGT:IGT:DP:DP4:BCOUNT:GQ:JGQ:VAQ:BQ:MQ:AMQ:"
+                "SS:SSC\t";
+            memcpy(p, FMT, sizeof(FMT) - 1);
+            p += sizeof(FMT) - 1;
+            p = emit_vcf_sample(p, r4, alts, ng, f[EF_NJGT], f[EF_JCQ],
+                                f[EF_NCQ], f[EF_NVAQ], -1, f[EF_NST], rn);
+            *p++ = '\t';
+            p = emit_vcf_sample(p, r4, alts, tg, f[EF_TJGT], f[EF_JCQ],
+                                f[EF_TCQ], f[EF_TVAQ], f[EF_SCORE],
+                                f[EF_TST], rt);
+            *p++ = '\n';
+            continue;
+        }
+        // classic (output_classic.c:9-55): 26 tab-separated columns
+        memcpy(p, name, (size_t)name_len);
+        p += name_len;
+        *p++ = '\t';
+        p = emit_put_i64(p, poss[k] + 1);
+        *p++ = '\t';
+        *p++ = (char)chars[k];
+        *p++ = '\t';
+        *p++ = NT16_REV[tg & 0xF];
+        *p++ = '\t';
+        *p++ = NT16_REV[ng & 0xF];
+        *p++ = '\t';
+        p = emit_put_i64(p, f[EF_SCORE]);
+        *p++ = '\t';
+        p = emit_put_i64(p, f[EF_TCQ]);
+        *p++ = '\t';
+        p = emit_put_i64(p, f[EF_TVAQ]);
+        *p++ = '\t';
+        p = emit_put_i64(p, rt[17]);
+        *p++ = '\t';
+        p = emit_put_i64(p, f[EF_NCQ]);
+        *p++ = '\t';
+        p = emit_put_i64(p, f[EF_NVAQ]);
+        *p++ = '\t';
+        p = emit_put_i64(p, rn[17]);
+        *p++ = '\t';
+        p = emit_put_i64(p, rt[16]);
+        *p++ = '\t';
+        p = emit_put_i64(p, rn[16]);
+        *p++ = '\t';
+        p = emit_mv(p, r4, rt, 0);
+        *p++ = '\t';
+        p = emit_mv(p, r4, rt, 4);
+        *p++ = '\t';
+        p = emit_mv(p, r4, rt, 8);
+        *p++ = '\t';
+        p = emit_mv(p, ~r4 & tg, rt, 0);
+        *p++ = '\t';
+        p = emit_mv(p, ~r4 & tg, rt, 4);
+        *p++ = '\t';
+        p = emit_mv(p, ~r4 & tg, rt, 8);
+        *p++ = '\t';
+        p = emit_mv(p, r4, rn, 0);
+        *p++ = '\t';
+        p = emit_mv(p, r4, rn, 4);
+        *p++ = '\t';
+        p = emit_mv(p, r4, rn, 8);
+        *p++ = '\t';
+        p = emit_mv(p, ~r4 & ng, rn, 0);
+        *p++ = '\t';
+        p = emit_mv(p, ~r4 & ng, rn, 4);
+        *p++ = '\t';
+        p = emit_mv(p, ~r4 & ng, rn, 8);
+        *p++ = '\n';
+    }
+    line_off[K] = p - out;
+    return p - out;
+}
+
 }  // extern "C"

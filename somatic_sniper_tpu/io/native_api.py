@@ -434,6 +434,68 @@ def exact_pair_rows(
     return rows[:count]
 
 
+_EMIT_FMT = {"classic": 0, "vcf": 1, "bed": 2}
+
+
+def emit_lines(
+    fmt: str,
+    ref_names: list[str],
+    tids: np.ndarray,
+    poss: np.ndarray,
+    chars: np.ndarray,
+    rb4: np.ndarray,
+    fields: np.ndarray,
+    rows_t: np.ndarray,
+    rows_n: np.ndarray,
+) -> list[str] | None:
+    """Bulk native text emission (sniper_native.cpp emit_lines): render
+    all K output lines for ``fmt`` in one C pass, byte-identical to
+    output/fast_emit.py's Python builders (which remain the readable
+    reference and the fallback).  ``fields``: [K, NF] int64 in
+    models.somatic.COMPACT_FIELDS order; ``rows_t``/``rows_n``: [K, 18]
+    dqstats rows.  Returns None when the native library is unavailable.
+    """
+    import ctypes as ct
+
+    lib = native.get_lib()
+    if lib is None or fmt not in _EMIT_FMT:
+        return None
+    K = len(poss)
+    if K == 0:
+        return []
+    name_bytes = [n.encode() for n in ref_names]
+    blob = b"".join(name_bytes)
+    off = np.zeros(len(name_bytes) + 1, np.int64)
+    np.cumsum([len(b) for b in name_bytes], out=off[1:])
+    tids_c = np.ascontiguousarray(tids, np.int64)
+    poss_c = np.ascontiguousarray(poss, np.int64)
+    chars_c = np.ascontiguousarray(chars, np.int32)
+    rb_c = np.ascontiguousarray(rb4, np.int32)
+    f_c = np.ascontiguousarray(fields, np.int64)
+    rt_c = np.ascontiguousarray(rows_t, np.int32)
+    rn_c = np.ascontiguousarray(rows_n, np.int32)
+    line_off = np.empty(K + 1, np.int64)
+    ip = ct.POINTER(ct.c_int32)
+    lp = ct.POINTER(ct.c_int64)
+    cap = max(1 << 20, K * 420)
+    while True:
+        out = ct.create_string_buffer(cap)
+        total = lib.emit_lines(
+            _EMIT_FMT[fmt], K, blob, off.ctypes.data_as(lp),
+            tids_c.ctypes.data_as(lp), poss_c.ctypes.data_as(lp),
+            chars_c.ctypes.data_as(ip), rb_c.ctypes.data_as(ip),
+            f_c.ctypes.data_as(lp), f_c.shape[1],
+            rt_c.ctypes.data_as(ip), rn_c.ctypes.data_as(ip),
+            out, cap, line_off.ctypes.data_as(lp),
+        )
+        if total >= 0:
+            break
+        cap *= 4
+    buf = out.raw[:total].decode("latin-1")  # byte-transparent
+    offs = line_off.tolist()
+    return [buf[offs[k]:offs[k + 1]] for k in range(K)]
+
+
 def paired_plan(
     pu_t: ColumnarPileup,
     pu_n: ColumnarPileup,

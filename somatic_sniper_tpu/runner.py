@@ -827,21 +827,39 @@ def _build_records(
     ci_t = np.searchsorted(pu_t.ukeys, keys)
     ci_n = np.searchsorted(pu_n.ukeys, keys)
     if fmt is not None:
-        # bulk text path: raw dqstats rows + one-pass line builders
-        # (output.fast_emit) — no DqStats/SampleData/SniperRecord
-        # objects, same bytes
+        # bulk text path: raw dqstats rows + one-pass line builders —
+        # no DqStats/SampleData/SniperRecord objects, same bytes.
+        # Preferred renderer is the native emit_lines (one C pass; the
+        # Python f-string loop was ~25% of the exact-mode main thread
+        # at 10 Mb); output.fast_emit stays as the readable reference
+        # and the no-toolchain fallback (byte-equality enforced by
+        # tests/test_fast_emit.py).
+        from .io import native_api
+        from .models.somatic import COMPACT_FIELDS
         from .output.dqstats import get_dqstats_rows
-        from .output.fast_emit import LINE_BUILDERS
 
         with STATS.timer("emit.dqstats"):
-            rows_t = get_dqstats_rows(pu_t, ci_t, rb4, wanted).tolist()
-            rows_n = get_dqstats_rows(pu_n, ci_n, rb4, wanted).tolist()
-        fl = {k: np.asarray(v).tolist() for k, v in f.items()}
-        names_l = [header.ref_names[t] for t in tids.tolist()]
-        lines = LINE_BUILDERS[fmt](
-            names_l, poss.tolist(), chars_emit.tolist(), rb4.tolist(),
-            fl, rows_t, rows_n,
-        )
+            rows_t = get_dqstats_rows(pu_t, ci_t, rb4, wanted)
+            rows_n = get_dqstats_rows(pu_n, ci_n, rb4, wanted)
+        lines = None
+        if all(k in f for k in COMPACT_FIELDS[:12]):
+            fields = np.stack(
+                [np.asarray(f[k], np.int64) for k in COMPACT_FIELDS[:12]],
+                axis=1,
+            )
+            lines = native_api.emit_lines(
+                fmt, header.ref_names, tids, poss, chars_emit, rb4,
+                fields, rows_t, rows_n,
+            )
+        if lines is None:
+            from .output.fast_emit import LINE_BUILDERS
+
+            fl = {k: np.asarray(v).tolist() for k, v in f.items()}
+            names_l = [header.ref_names[t] for t in tids.tolist()]
+            lines = LINE_BUILDERS[fmt](
+                names_l, poss.tolist(), chars_emit.tolist(), rb4.tolist(),
+                fl, rows_t.tolist(), rows_n.tolist(),
+            )
         return list(zip(keys.tolist(), lines))
     dq_t = get_dqstats_batch(pu_t, ci_t, rb4, wanted)
     dq_n = get_dqstats_batch(pu_n, ci_n, rb4, wanted)
