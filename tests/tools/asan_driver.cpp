@@ -140,6 +140,52 @@ int main(int argc, char** argv) {
         }
     }
 
+    // bulk text emission over the first planned columns (all 3 formats,
+    // incl. the buffer-too-small retry path via a deliberately tiny cap)
+    if (total > 0) {
+        int64_t K = total < 16 ? total : 16;
+        const char names[] = "c1c2longer_name";
+        int64_t name_off[4] = {0, 2, 4, 15};
+        std::vector<int64_t> tids(K, 0), poss(K);
+        std::vector<int32_t> chars(K, 'A'), erb(K, 1);
+        std::vector<int64_t> fields((size_t)K * 12);
+        std::vector<int32_t> drt((size_t)K * 18), drn((size_t)K * 18);
+        for (int64_t k = 0; k < K; ++k) {
+            tids[(size_t)k] = k % 3;
+            poss[(size_t)k] = k * 997;
+            for (int j = 0; j < 12; ++j)
+                fields[(size_t)(k * 12 + j)] = (k * 7 + j * 3) % 16;
+            for (int j = 0; j < 18; ++j) {
+                drt[(size_t)(k * 18 + j)] = (int32_t)((k + j) % 999);
+                drn[(size_t)(k * 18 + j)] = (int32_t)((k * j) % 999);
+            }
+        }
+        std::vector<int64_t> loff(K + 1);
+        for (int32_t fmtc = 0; fmtc < 3; ++fmtc) {
+            int64_t small_cap = 32;  // forces the -1 grow path
+            std::vector<char> tiny(small_cap);
+            if (emit_lines(fmtc, K, names, name_off, tids.data(),
+                           poss.data(), chars.data(), erb.data(),
+                           fields.data(), 12, drt.data(), drn.data(),
+                           tiny.data(), small_cap, loff.data()) != -1 &&
+                K > 0) {
+                std::fprintf(stderr, "emit_lines tiny-cap not refused\n");
+                return 1;
+            }
+            int64_t cap2 = K * 1024 + 4096;
+            std::vector<char> buf((size_t)cap2);
+            int64_t n = emit_lines(fmtc, K, names, name_off, tids.data(),
+                                   poss.data(), chars.data(), erb.data(),
+                                   fields.data(), 12, drt.data(),
+                                   drn.data(), buf.data(), cap2,
+                                   loff.data());
+            if (n < 0 || n > cap2 || loff[K] != n) {
+                std::fprintf(stderr, "emit_lines bad size fmt=%d\n", fmtc);
+                return 1;
+            }
+        }
+    }
+
     // per-record BAI table
     NativeRecTable* rt = bam_record_table(argv[1], 2);
     if (!rt || rt->n != bt->n_reads) {
