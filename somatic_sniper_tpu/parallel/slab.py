@@ -137,7 +137,8 @@ class _Seg(NamedTuple):
 
 
 class _WindowState:
-    __slots__ = ("wi", "win", "pu_t", "pu_n", "outstanding", "records")
+    __slots__ = ("wi", "win", "pu_t", "pu_n", "outstanding", "records",
+                 "pending")
 
     def __init__(self, wi, win, pu_t, pu_n):
         self.wi = wi
@@ -146,6 +147,12 @@ class _WindowState:
         self.pu_n = pu_n
         self.outstanding = 0          # slabs (incl. the open one) pending
         self.records: list = []       # (key, record) accumulated
+        # (keys, ref16, rows) result batches staged for one merged
+        # emit at yield time: a window's rows arrive as per-slab
+        # segments plus a host-deep batch, and each emit call pays a
+        # fixed ctypes/array-setup cost that dwarfs the per-row work
+        # for the typical few-thousand-row (or few-row deep) batch
+        self.pending: list = []
         # ``outstanding`` is mutated from the main thread (+1 per slab
         # contribution) and the collector thread (-1 per collected
         # slab); SlabDispatcher._lock guards every mutation/read.
@@ -365,7 +372,6 @@ class SlabDispatcher:
         alternative (per-depth device shapes) costs one executable
         build/load per shape per process on tunneled links."""
         from ..io.native_api import exact_pair_rows
-        from ..runner import _PlanBatch, emit_records_compact
 
         with STATS.timer("host_deep"):
             sel = np.ascontiguousarray(deep_idx)
@@ -377,13 +383,12 @@ class SlabDispatcher:
             )
             STATS.add("host_deep_columns", len(sel))
             if len(rows):
-                recs = emit_records_compact(
-                    _PlanBatch(keys=np.asarray(plan.keys[sel], np.int64)),
-                    rows, None, np.asarray(plan.ref16[sel], np.int64),
-                    ws.pu_t, ws.pu_n, self.refcache, fmt=self.fmt,
-                )
                 with self._lock:
-                    ws.records.extend(recs)
+                    ws.pending.append((
+                        np.asarray(plan.keys[sel], np.int64),
+                        np.asarray(plan.ref16[sel], np.int64),
+                        rows,
+                    ))
 
     # -- dispatch / collect ----------------------------------------------
 
@@ -467,10 +472,11 @@ class SlabDispatcher:
             self._collect_one()
 
     def _collect_one(self) -> None:
-        """Decode one fetched slab and build its records (main thread;
-        the fetch itself already happened on the collector thread)."""
-        from ..runner import _PlanBatch, emit_records_compact
-
+        """Decode one fetched slab and stage its per-window row batches
+        (main thread; the fetch itself already happened on the collector
+        thread).  Record building is deferred to :meth:`ready` so each
+        window pays ONE emit call over all its batches instead of one
+        per slab segment plus one per host-deep tail."""
         segs, fut = self.queue.popleft()
         with STATS.timer("device"):
             cnt, rows_u8 = fut.result()
@@ -482,20 +488,42 @@ class SlabDispatcher:
         for seg in segs:
             lo = int(np.searchsorted(idx, seg.start))
             hi = int(np.searchsorted(idx, seg.end))
-            recs = []
+            sub = None
             if hi > lo:
                 sub = rows[lo:hi].copy()
                 sub[:, 0] -= seg.start
-                with STATS.timer("emit"):
-                    recs = emit_records_compact(
-                        _PlanBatch(keys=seg.keys), sub, None,
-                        seg.ref16.astype(np.int64), seg.ws.pu_t,
-                        seg.ws.pu_n, self.refcache, fmt=self.fmt,
-                    )
             with self._lock:
-                if recs:
-                    seg.ws.records.extend(recs)
+                if sub is not None:
+                    seg.ws.pending.append(
+                        (seg.keys, seg.ref16.astype(np.int64), sub)
+                    )
                 seg.ws.outstanding -= 1
+
+    def _emit_window(self, ws) -> None:
+        """One merged emit over every staged result batch of a window
+        (its row indices are rebased onto the concatenated key list)."""
+        from ..runner import _PlanBatch, emit_records_compact
+
+        with self._lock:
+            pending, ws.pending = ws.pending, []
+        if not pending:
+            return
+        base = 0
+        keys_l, ref_l, rows_l = [], [], []
+        for keys, ref16, rows in pending:
+            r = np.asarray(rows, np.int64)
+            r = np.concatenate([r[:, :1] + base, r[:, 1:]], axis=1)
+            rows_l.append(r)
+            keys_l.append(keys)
+            ref_l.append(ref16)
+            base += len(keys)
+        with STATS.timer("emit"):
+            recs = emit_records_compact(
+                _PlanBatch(keys=np.concatenate(keys_l)),
+                np.concatenate(rows_l), None, np.concatenate(ref_l),
+                ws.pu_t, ws.pu_n, self.refcache, fmt=self.fmt,
+            )
+        ws.records.extend(recs)
 
     # -- draining ----------------------------------------------------------
 
@@ -506,17 +534,26 @@ class SlabDispatcher:
                 if not self.order or self.order[0].outstanding != 0:
                     return
                 ws = self.order.popleft()
+            self._emit_window(ws)
             ws.records.sort(key=lambda kv: kv[0])
             STATS.add("records_emitted", len(ws.records))
             yield ws.wi, ws.win, [r for _, r in ws.records]
 
     def finish(self):
-        """Flush + collect everything; yield all remaining windows."""
+        """Flush + collect everything; yield all remaining windows.
+
+        Windows are emitted as soon as their last slab lands (the
+        ``yield from self.ready()`` inside the loop): the held-back
+        landed slab's decode + merged emit runs UNDER the final partial
+        slab's dispatch->fetch round trip instead of after it — the
+        tunnel's ~0.2-0.5 s per-execute latency would otherwise be a
+        pure blocked tail."""
         if self._staged:
             self._drain_staged()  # short runs: pin D from what we have
         self._flush()
         while self.queue:
             self._collect_one()
+            yield from self.ready()
         self._collector.shutdown(wait=True)
         yield from self.ready()
         assert not self.order, "slab dispatcher left incomplete windows"
