@@ -233,12 +233,53 @@ def call_pair_windows(
         pool_n = default_pool
     ex = ThreadPoolExecutor(max_workers=pool_n)
 
-    def _submit_load(win):
+    import threading
+    from concurrent.futures import Future
+
+    def _submit_window(win):
+        """Submit the window's two region loads and chain its paired
+        plan behind them: the plan runs in the SAME pool the moment
+        both loads land (completion callbacks — a plan task queued
+        eagerly could occupy every pool thread waiting on loads that
+        then cannot run), so on hosts with spare cores the per-window
+        plan rides the pool instead of serializing on the main thread.
+        Resolves to (pu_t, pu_n, plan-or-None); None when the native
+        fused plan does not apply (the main loop then falls back
+        exactly as before)."""
         tid, beg, end = win
-        return (
-            ex.submit(_load_one, tumor_bam, idx_t, carry_t, tid, beg, end),
-            ex.submit(_load_one, normal_bam, idx_n, carry_n, tid, beg, end),
-        )
+        f_t = ex.submit(_load_one, tumor_bam, idx_t, carry_t,
+                        tid, beg, end)
+        f_n = ex.submit(_load_one, normal_bam, idx_n, carry_n,
+                        tid, beg, end)
+        done = Future()
+        n_landed = [0]
+        cb_lock = threading.Lock()
+
+        def _plan_task():
+            try:
+                pu_t, pu_n = f_t.result(), f_n.result()
+                plan = None
+                if (
+                    ref_blob is not None
+                    and getattr(pu_t.owner, "_ptr", None) is not None
+                    and getattr(pu_n.owner, "_ptr", None) is not None
+                ):
+                    plan = make_plan(pu_t, pu_n, tabs, ref_blob, ref_off,
+                                     prefilter, cns_mode="proof")
+                done.set_result((pu_t, pu_n, plan))
+            except BaseException as e:  # surfaces on .result()
+                done.set_exception(e)
+
+        def _on_load(_):
+            with cb_lock:
+                n_landed[0] += 1
+                if n_landed[0] < 2:
+                    return
+            ex.submit(_plan_task)
+
+        f_t.add_done_callback(_on_load)
+        f_n.add_done_callback(_on_load)
+        return done
 
     # two-window lookahead keeps the load pool fed while the current
     # window computes (one-deep starves when compute is faster than the
@@ -248,7 +289,7 @@ def call_pair_windows(
     # of pileup at the default window size)
     LOOKAHEAD = 2 if pool_n <= 2 else (pool_n + 1) // 2 + 1
     inflight: list = [
-        _submit_load(w) for _, w in todo[:LOOKAHEAD]
+        _submit_window(w) for _, w in todo[:LOOKAHEAD]
     ]
 
     # Collect is deferred: a window's device results are fetched only
@@ -273,12 +314,12 @@ def call_pair_windows(
     from ..utils.stats import STATS
 
     for i, (wi, (tid, beg, end)) in enumerate(todo):
-        f_t, f_n = inflight.pop(0)
+        fut = inflight.pop(0)
         with STATS.timer("load_wait"):
-            pu_t, pu_n = f_t.result(), f_n.result()
+            pu_t, pu_n, plan = fut.result()
         j = i + LOOKAHEAD
         if j < len(todo):
-            inflight.append(_submit_load(todo[j][1]))
+            inflight.append(_submit_window(todo[j][1]))
         if can_plan(pu_t, pu_n, packed16) and not (
             precision == "exact" and can_exact_native(pu_t, pu_n, ref_blob)
         ):
@@ -290,8 +331,9 @@ def call_pair_windows(
                 slab_disp = SlabDispatcher(
                     dtabs, tabs, params, refcache, fmt=fmt,
                 )
-            plan = make_plan(pu_t, pu_n, tabs, ref_blob, ref_off,
-                             prefilter, cns_mode="proof")
+            if plan is None:
+                plan = make_plan(pu_t, pu_n, tabs, ref_blob, ref_off,
+                                 prefilter, cns_mode="proof")
             slab_disp.add_window(wi, (tid, beg, end), pu_t, pu_n, plan)
             yield from slab_disp.ready()
             continue
@@ -300,7 +342,7 @@ def call_pair_windows(
                                                          ref_blob):
                 records = exact_records_native(
                     pu_t, pu_n, tabs, ref_blob, ref_off, refcache,
-                    prefilter, fmt=fmt,
+                    prefilter, fmt=fmt, plan=plan,
                 )
                 pending = None
             else:
