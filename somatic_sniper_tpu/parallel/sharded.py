@@ -236,16 +236,24 @@ def call_pair_windows(
     import threading
     from concurrent.futures import Future
 
+    # The per-window paired plan is offloaded into the pool only when
+    # the pool has threads beyond the two a window's loads occupy: on
+    # wide hosts the plan then rides the pool instead of serializing on
+    # the main thread (the next bottleneck once loads parallelize).  On
+    # a 2-thread pool the main thread is the spare core — queueing the
+    # plan behind lookahead loads only delays the critical path
+    # (measured +0.4-0.9 s on the 10 Mb fast run on the 2-vCPU host) —
+    # so it plans inline as before.
+    offload_plan = pool_n >= 3
+
     def _submit_window(win):
-        """Submit the window's two region loads and chain its paired
-        plan behind them: the plan runs in the SAME pool the moment
-        both loads land (completion callbacks — a plan task queued
-        eagerly could occupy every pool thread waiting on loads that
-        then cannot run), so on hosts with spare cores the per-window
-        plan rides the pool instead of serializing on the main thread.
-        Resolves to (pu_t, pu_n, plan-or-None); None when the native
-        fused plan does not apply (the main loop then falls back
-        exactly as before)."""
+        """Submit the window's two region loads and (on wide pools)
+        chain its paired plan behind them via completion callbacks — a
+        plan task queued eagerly could occupy every pool thread waiting
+        on loads that then cannot run.  Resolves to
+        (pu_t, pu_n, plan-or-None); None when the plan was not
+        offloaded or the native fused plan does not apply (the main
+        loop then plans inline exactly as before)."""
         tid, beg, end = win
         f_t = ex.submit(_load_one, tumor_bam, idx_t, carry_t,
                         tid, beg, end)
@@ -270,12 +278,21 @@ def call_pair_windows(
             except BaseException as e:  # surfaces on .result()
                 done.set_exception(e)
 
+        def _resolve_loads():
+            try:
+                done.set_result((f_t.result(), f_n.result(), None))
+            except BaseException as e:
+                done.set_exception(e)
+
         def _on_load(_):
             with cb_lock:
                 n_landed[0] += 1
                 if n_landed[0] < 2:
                     return
-            ex.submit(_plan_task)
+            if offload_plan:
+                ex.submit(_plan_task)
+            else:
+                _resolve_loads()  # runs on the completing load thread
 
         f_t.add_done_callback(_on_load)
         f_n.add_done_callback(_on_load)
