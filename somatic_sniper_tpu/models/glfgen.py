@@ -556,14 +556,9 @@ def glfgen_batch(
         HI = jax.lax.Precision.HIGHEST
         coef_sub = coef[4:64, :NK, :NK]
         lhet_sub = lhet[:NK, :NK]
-        # R[b, e, k] = coef[e+4, c_tot[b], k] — shared by all 10 terms.
-        # Built as a row gather of contiguous 60xNK blocks (TPU lowers
-        # large-slice row gathers efficiently, unlike per-element vector
-        # gathers): exact copy semantics, bit-identical to the previous
-        # one-hot contraction but without its B*60*NK*NK HIGHEST-
-        # precision multi-pass matmul.  c_tot <= counted depth < NK by
-        # construction (and the depth rescale caps it at 254).
-        R = jnp.take(coef_sub.transpose(1, 0, 2), c_tot, axis=0)
+        On_ct = jax.nn.one_hot(c_tot, NK, dtype=F32)
+        # R[b, e, k] = coef[e+4, c_tot[b], k] — shared by all 10 terms
+        R = jnp.einsum("bm,emk->bek", On_ct, coef_sub, precision=HI)
 
         def coef_at_t(bar_e_t, tmp2_t):  # [B, T] -> [B, T]
             oe = jax.nn.one_hot(bar_e_t - 4, 60, dtype=F32)
@@ -571,10 +566,6 @@ def glfgen_batch(
             return jnp.einsum("bte,bek,btk->bt", oe, R, ok, precision=HI)
 
         def lhet_at_t(cj_t, ck_t):
-            # one-hot contractions, NOT a row gather: cj_t is a [B, T]
-            # batched index, and per-(b,t) NK-float slice gathers
-            # serialize on TPU (measured 2.16M vs 2.45M pair-cols/s at
-            # the production shape when this was a jnp.take)
             rows = jnp.einsum(
                 "btm,mk->btk", jax.nn.one_hot(cj_t, NK, dtype=F32),
                 lhet_sub, precision=HI,
