@@ -8,6 +8,7 @@ model as samtools faidx.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -68,9 +69,10 @@ class FastaFile:
                 self._data = b""
         fai = Path(str(self.path) + ".fai")
         if fai.exists():
-            self.index = self._parse_fai(fai.read_text())
+            self.index = self._parse_fai(fai.read_text(), fai)
         else:
             self.index = self._build_index()
+            self._save_fai(fai)
         # bounded contig cache: callers fetch one contig at a time in
         # coordinate order (RefCache mirrors the reference's per-tid
         # cache); holding every fetched contig forever cost ~3 GB at
@@ -79,23 +81,58 @@ class FastaFile:
         self._cache_max = 2
 
     @staticmethod
-    def _parse_fai(text: str) -> dict[str, FaiEntry]:
+    def _parse_fai(text: str, path: Path | None = None) -> dict[str, FaiEntry]:
+        """Parse a ``.fai``; on any malformed line raise ONE actionable
+        error instead of crashing deep in a fetch.  The reference
+        segfaults on a malformed index (documented in its install FAQ,
+        reference gmt/install.md); a truncated transfer or a stray edit
+        should tell the user what to do, not trace back."""
         idx: dict[str, FaiEntry] = {}
-        for line in text.splitlines():
+        for ln, line in enumerate(text.splitlines(), 1):
             if not line.strip():
                 continue
             parts = line.split("\t")
-            if len(parts) < 5:
-                raise ValueError(f"malformed .fai line: {line!r}")
-            e = FaiEntry(
-                name=parts[0],
-                length=int(parts[1]),
-                offset=int(parts[2]),
-                line_bases=int(parts[3]),
-                line_width=int(parts[4]),
-            )
+            try:
+                if len(parts) < 5:
+                    raise ValueError("expected 5 tab-separated columns")
+                e = FaiEntry(
+                    name=parts[0],
+                    length=int(parts[1]),
+                    offset=int(parts[2]),
+                    line_bases=int(parts[3]),
+                    line_width=int(parts[4]),
+                )
+                if e.length < 0 or e.offset < 0 or e.line_bases <= 0 \
+                        or e.line_width < e.line_bases:
+                    raise ValueError("implausible geometry")
+            except ValueError as err:
+                where = str(path) if path is not None else ".fai"
+                raise ValueError(
+                    f"malformed FASTA index {where}, line {ln}: {line!r} "
+                    f"({err}) — delete the .fai and rerun to rebuild it"
+                ) from None
             idx[e.name] = e
         return idx
+
+    def _save_fai(self, fai: Path) -> None:
+        """Persist a freshly built index next to the FASTA (reference
+        vendor faidx.c fai_build builds AND saves; building in memory
+        only would re-scan the FASTA — minutes at WGS scale — in every
+        process).  Offsets refer to the uncompressed text (samtools'
+        convention for razf too).  Written atomically; an unwritable
+        directory downgrades to the in-memory behavior silently."""
+        try:
+            tmp = fai.with_name(fai.name + f".tmp{os.getpid()}")
+            tmp.write_text(
+                "".join(
+                    f"{e.name}\t{e.length}\t{e.offset}\t{e.line_bases}"
+                    f"\t{e.line_width}\n"
+                    for e in self.index.values()
+                )
+            )
+            tmp.replace(fai)
+        except OSError:
+            pass
 
     def _build_index(self) -> dict[str, FaiEntry]:
         idx: dict[str, FaiEntry] = {}

@@ -2822,9 +2822,14 @@ int64_t emit_lines(int32_t fmt, int64_t K, const char* names_blob,
         const int64_t tid = tids[k];
         const char* name = names_blob + names_off[tid];
         const int64_t name_len = names_off[tid + 1] - names_off[tid];
-        // conservative per-line bound: 26 numeric fields x 21 chars,
-        // separators, two 13-field VCF samples, etc. all fit in 700
-        if ((p - out) + name_len + 700 > cap) return -1;
+        // provable per-line bound, adversarial values included: the
+        // widest line is VCF with 2 samples x 13 fields x up to 4
+        // comma values, each an int64 (<= 20 digits + sign) plus a
+        // separator = 2*13*4*22 = 2288; classic is smaller (12 multi-
+        // value dqstats columns x 4 values x 22 = 1056 + ~14 scalars
+        // x 22).  4096 covers either with separators/fixed text to
+        // spare (realistic phred/depth values use a tenth of this).
+        if ((p - out) + name_len + 4096 > cap) return -1;
         line_off[k] = p - out;
         const int64_t r4 = rb4[k];
         const int64_t tg = f[EF_TGT], ng = f[EF_NGT];

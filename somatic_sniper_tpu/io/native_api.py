@@ -447,13 +447,16 @@ def emit_lines(
     fields: np.ndarray,
     rows_t: np.ndarray,
     rows_n: np.ndarray,
+    initial_cap: int | None = None,
 ) -> list[str] | None:
     """Bulk native text emission (sniper_native.cpp emit_lines): render
     all K output lines for ``fmt`` in one C pass, byte-identical to
     output/fast_emit.py's Python builders (which remain the readable
     reference and the fallback).  ``fields``: [K, NF] int64 in
     models.somatic.COMPACT_FIELDS order; ``rows_t``/``rows_n``: [K, 18]
-    dqstats rows.  Returns None when the native library is unavailable.
+    dqstats rows.  ``initial_cap`` overrides the first buffer size
+    (tests use a tiny one to drive the grow-retry loop).  Returns None
+    when the native library is unavailable.
     """
     import ctypes as ct
 
@@ -477,7 +480,7 @@ def emit_lines(
     line_off = np.empty(K + 1, np.int64)
     ip = ct.POINTER(ct.c_int32)
     lp = ct.POINTER(ct.c_int64)
-    cap = max(1 << 20, K * 420)
+    cap = int(initial_cap) if initial_cap else max(1 << 20, K * 420)
     while True:
         out = ct.create_string_buffer(cap)
         total = lib.emit_lines(
@@ -491,7 +494,14 @@ def emit_lines(
         if total >= 0:
             break
         cap *= 4
-    buf = out.raw[:total].decode("latin-1")  # byte-transparent
+    try:
+        # SAM restricts reference names to printable ASCII; a non-ASCII
+        # name would round-trip differently through a UTF-8 text-mode
+        # file than the Python builders' str path, so fall back to them
+        # (None) rather than risk the bit-identity invariant
+        buf = out.raw[:total].decode("ascii")
+    except UnicodeDecodeError:
+        return None
     offs = line_off.tolist()
     return [buf[offs[k]:offs[k + 1]] for k in range(K)]
 

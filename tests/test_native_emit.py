@@ -76,7 +76,7 @@ def test_native_matches_python(fmt, seed):
 
 
 def test_empty_and_growth():
-    # K=0 short-circuits; a tiny initial cap exercises the grow-retry
+    # K=0 short-circuits
     empty = native_api.emit_lines(
         "vcf", REF_NAMES, np.zeros(0, np.int64), np.zeros(0, np.int64),
         np.zeros(0, np.int32), np.zeros(0, np.int64),
@@ -84,3 +84,43 @@ def test_empty_and_growth():
         np.zeros((0, 18), np.int64),
     )
     assert empty == []
+    # a tiny initial cap drives the Python-side grow-retry loop (the
+    # C side returns -1, native_api quadruples and retries): output
+    # must equal the default-cap render byte for byte
+    rng = np.random.default_rng(3)
+    tids, poss, chars, rb4, f, rows_t, rows_n = _random_case(rng, 64)
+    fields = np.stack(
+        [np.asarray(f[k], np.int64) for k in COMPACT_FIELDS[:12]], axis=1
+    )
+    args = ("vcf", REF_NAMES, tids, poss, chars, rb4, fields,
+            rows_t, rows_n)
+    assert native_api.emit_lines(*args, initial_cap=64) == \
+        native_api.emit_lines(*args)
+
+
+def test_adversarial_max_values_fit_headroom():
+    """int64-extreme field values and int32-max dqstats rows must not
+    overrun the per-line headroom bound (ADVICE r4: the former 700-byte
+    constant was not provable against adversarial widths)."""
+    K = 8
+    tids = np.zeros(K, np.int64)
+    poss = np.full(K, (1 << 62), np.int64)
+    chars = np.full(K, ord("A"), np.int32)
+    rb4 = np.full(K, 1, np.int64)
+    fields = np.full((K, 12), (1 << 62), np.int64)
+    fields[:, 0] = fields[:, 1] = 15       # gt codes stay 4-bit
+    fields[:, 7] = fields[:, 8] = 15
+    fields[:, 10] = fields[:, 11] = 4      # status codes
+    rows = np.full((K, 18), 2**31 - 1, np.int64)
+    for fmt in ("classic", "vcf", "bed"):
+        native = native_api.emit_lines(
+            fmt, REF_NAMES, tids, poss, chars, rb4, fields, rows, rows
+        )
+        names_l = [REF_NAMES[t] for t in tids.tolist()]
+        fl = {k: fields[:, i].tolist()
+              for i, k in enumerate(COMPACT_FIELDS[:12])}
+        python = LINE_BUILDERS[fmt](
+            names_l, poss.tolist(), chars.tolist(), rb4.tolist(), fl,
+            rows.tolist(), rows.tolist(),
+        )
+        assert native == python
