@@ -211,15 +211,18 @@ def _fast_phase_body(d200: Path, d10: Path,
     ))
     try:
         tolerated = diff_records(fast_lines, exact_lines, "vcf")
-        n_diffs = len(tolerated)
         if exact10_lines is not None and exact10_lines.exists():
-            tolerated10 = diff_records(
+            tolerated += diff_records(
                 fast10_lines.read_text().splitlines(),
                 exact10_lines.read_text().splitlines(), "vcf",
             )
-            n_diffs += len(tolerated10)
         out["contract_ok"] = True
-        out["contract_diffs"] = n_diffs
+        out["contract_diffs"] = len(tolerated)
+        # per-field delta histogram: a regression shows as a new class
+        # or a count jump, not an opaque total (utils.contract.hist)
+        from somatic_sniper_tpu.utils.contract import hist
+
+        out["contract_hist"] = hist(tolerated)
     except AssertionError as e:
         out["contract_ok"] = False
         out["contract_error"] = str(e)[:300]
@@ -391,6 +394,8 @@ def main() -> None:
     if "contract_ok" in fast:
         out["fast_contract_ok"] = fast["contract_ok"]
         out["fast_contract_diffs"] = fast.get("contract_diffs")
+        if fast.get("contract_hist") is not None:
+            out["fast_contract_hist"] = fast["contract_hist"]
         if fast.get("contract_error"):
             out["fast_contract_error"] = fast["contract_error"]
     if fast.get("wall"):

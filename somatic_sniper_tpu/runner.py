@@ -346,7 +346,7 @@ def call_pair(
             plan = make_plan(pu_t, pu_n, tabs, ref_blob, ref_off,
                              prefilter, cns_mode="proof")
             if (
-                len(plan.keys) < _device_min_cols()
+                len(plan.keys) < _device_min_cols(len(plan.keys))
                 and can_exact_native(pu_t, pu_n, ref_blob)
             ):
                 # Latency-aware dispatch: the whole-file driver has no
@@ -449,16 +449,69 @@ class _PlanBatch(NamedTuple):
     keys: np.ndarray
 
 
-def _device_min_cols() -> int:
+# Break-even model constants (measured on the dev host, BASELINE.md
+# "Link characterization"): a per-execute dispatch->result round trip
+# costs ~14x the raw link RTT (0.3 s execute vs 22 ms RTT through the
+# axon tunnel), and the native exact host scorer runs at ~3.2 us per
+# survivor column — so the survivor count where one unhidden execute
+# equals the host cost is 14 * RTT / 3.2e-6 ~= 4.4e6 * RTT seconds.
+# The probe measures device_put+fetch of a tiny array (measured: one
+# RTT — the fetch rides the same round trip; no compiled executable,
+# because a first execution can stall minutes on tunneled links).  At
+# the dev tunnel's probed 24 ms this derives ~105k columns, i.e. an
+# execute cost of ~0.34 s — mid-range of the measured 0.2-0.5 s.
+_PROBE_COLS_PER_RTT_S = 4.4e6
+# never host-score more than this many survivors no matter how slow
+# the link looks (and skip the probe entirely for bigger plans)
+_MAX_MIN_COLS = 1 << 19
+_rtt_cache: float | None = None
+
+
+def _probe_link_rtt() -> float:
+    """Measured tiny-transfer round trip to the default device, seconds
+    (device_put + host fetch of 256 B; min of 3 after a warmup).  On an
+    un-tunneled chip this is sub-millisecond and the derived threshold
+    is near zero; through the dev tunnel it is ~24 ms and the
+    threshold lands at the hand-measured ~10^5 break-even."""
+    global _rtt_cache
+    if _rtt_cache is None:
+        try:
+            import time
+
+            import jax
+
+            x = np.zeros(64, np.float32)
+            np.asarray(jax.device_put(x))  # backend init + warm path
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(jax.device_put(x))
+                best = min(best, time.perf_counter() - t0)
+            _rtt_cache = best
+        except Exception:
+            _rtt_cache = 0.022  # assume tunnel-like when unprobeable
+    return _rtt_cache
+
+
+def _device_min_cols(n_cols: int | None = None) -> int:
     """Break-even survivor count below which the whole-file fast path
-    scores host-side instead of dispatching (SNIPER_DEVICE_MIN_COLS,
-    0 = always dispatch).  Default sized from the measured link: a
-    ~0.2-0.5 s per-execute round trip with nothing to hide it under vs
-    ~2 us/column of native exact host scoring."""
-    try:
-        return int(os.environ.get("SNIPER_DEVICE_MIN_COLS", "65536"))
-    except ValueError:
-        return 65536
+    scores host-side instead of dispatching (override:
+    SNIPER_DEVICE_MIN_COLS, 0 = always dispatch).  Without an override
+    the threshold is DERIVED from a measured link round trip (see
+    _PROBE_COLS_PER_RTT_S) so un-tunneled hosts dispatch almost
+    everything while high-latency links keep small runs host-side.
+    Plans already at/above _MAX_MIN_COLS skip the probe — its answer
+    could not change the decision."""
+    env = os.environ.get("SNIPER_DEVICE_MIN_COLS")
+    if env is not None:
+        try:
+            return int(env)
+        except ValueError:
+            pass
+    if n_cols is not None and n_cols >= _MAX_MIN_COLS:
+        return _MAX_MIN_COLS
+    return min(_MAX_MIN_COLS,
+               int(_PROBE_COLS_PER_RTT_S * _probe_link_rtt()))
 
 
 def exact_records_native(

@@ -16,7 +16,10 @@ Field policy
   bed:     somatic score within ±1; everything else exact.
 
 Violations raise AssertionError; the return value lists the tolerated
-±1 boundary diffs.
+±1 boundary diffs.  :func:`hist` compresses that list into a per-field
+delta histogram (e.g. ``{"GQ+1": 7, "VAQ-1": 3}``) for the bench JSON,
+so a future quantization regression shows up as a new class or a count
+jump instead of hiding inside an opaque total.
 """
 
 from __future__ import annotations
@@ -37,6 +40,24 @@ def _pm1(a: str, b: str) -> bool:
     if a == "." or b == ".":
         return False
     return abs(int(a) - int(b)) <= 1
+
+
+def hist(tolerated) -> dict[str, int]:
+    """Per-field signed-delta histogram of :func:`diff_records` output.
+
+    Keys are ``"<field><+/-delta>"`` — field is the FORMAT name for vcf
+    or ``col<N>`` for classic/bed.  Every key a correct fast path can
+    produce is a ±1 on one of the policy fields; anything else would
+    have raised inside diff_records already, so the histogram's job is
+    visibility (which field, which direction, how many), not policing.
+    """
+    out: dict[str, int] = {}
+    for _key, field, fast_v, gold_v in tolerated:
+        name = field if isinstance(field, str) else f"col{field}"
+        delta = int(fast_v) - int(gold_v)
+        k = f"{name}{delta:+d}"
+        out[k] = out.get(k, 0) + 1
+    return out
 
 
 def diff_records(fast: list[str], gold: list[str], fmt: str):

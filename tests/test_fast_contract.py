@@ -30,6 +30,16 @@ import pytest
 
 from somatic_sniper_tpu.cli.main import main
 from somatic_sniper_tpu.utils.contract import diff_records as _diff_records
+from somatic_sniper_tpu.utils.contract import hist as _hist
+
+# the documented fast-mode quantization classes: phred fields that an
+# f32 class-sum boundary can move by exactly one (CLAUDE.md invariant;
+# vcf FORMAT names, classic score/cnsq/vaq columns, bed score column)
+_ALLOWED_CLASSES = frozenset(
+    f"{f}{s}" for s in ("+1", "-1")
+    for f in ("GQ", "JGQ", "VAQ", "SSC",
+              "col5", "col6", "col7", "col9", "col10", "col4")
+)
 
 from .test_e2e import E2E_CASES
 
@@ -61,6 +71,12 @@ def test_fast_matches_exact_within_contract(data_dir, tmp_path, case, tag,
     # the ±1 boundary cases must stay rare: a drift in the f32 path shows
     # up as a spread of tolerated diffs long before calls change
     assert len(tolerated) <= 2, f"too many ±1 boundary diffs: {tolerated}"
+    # and every diff must belong to a DOCUMENTED ±1 quantization class:
+    # a new field or a |delta| > 1 is a regression even when rare (the
+    # bench records the same histogram as fast_contract_hist)
+    assert set(_hist(tolerated)) <= _ALLOWED_CLASSES, (
+        f"new fast-mode diff class: {_hist(tolerated)}"
+    )
 
 
 def test_fast_golden_pair_pins_known_gq_diff(data_dir, tmp_path):

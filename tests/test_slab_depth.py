@@ -158,6 +158,42 @@ def test_small_run_host_dispatch_threshold(monkeypatch, data_dir):
     assert dev == 0, "threshold run must not dispatch to the device"
 
 
+def test_device_min_cols_derived_from_link(monkeypatch):
+    """Without an override the dispatch threshold is DERIVED from the
+    probed link round trip: tunnel-like latency keeps small runs
+    host-side, an un-tunneled chip dispatches almost everything, an
+    explicit SNIPER_DEVICE_MIN_COLS always wins, and plans already at
+    the cap never pay for a probe."""
+    from somatic_sniper_tpu import runner
+
+    monkeypatch.delenv("SNIPER_DEVICE_MIN_COLS", raising=False)
+
+    # tunnel-like regime (~24 ms RTT): threshold in the ~10^5 range
+    monkeypatch.setattr(runner, "_rtt_cache", 0.024)
+    t_tunnel = runner._device_min_cols(10_000)
+    assert 50_000 <= t_tunnel <= runner._MAX_MIN_COLS
+
+    # local-link regime (0.2 ms): threshold near zero -> dispatch
+    monkeypatch.setattr(runner, "_rtt_cache", 0.0002)
+    assert runner._device_min_cols(10_000) < 2_000
+
+    # big plans skip the probe entirely (a probe could not change the
+    # decision); an unprobeable link must not be consulted
+    monkeypatch.setattr(runner, "_rtt_cache", None)
+    monkeypatch.setattr(
+        runner, "_probe_link_rtt",
+        lambda: (_ for _ in ()).throw(AssertionError("probed")),
+    )
+    n = runner._MAX_MIN_COLS
+    assert runner._device_min_cols(n) == runner._MAX_MIN_COLS <= n
+
+    # explicit override beats both the probe and the cap
+    monkeypatch.setenv("SNIPER_DEVICE_MIN_COLS", "123")
+    assert runner._device_min_cols(10_000) == 123
+    monkeypatch.setenv("SNIPER_DEVICE_MIN_COLS", "0")
+    assert runner._device_min_cols(10_000) == 0
+
+
 def test_pinned_d_never_upgrades(monkeypatch, capfd, shallow_first_pair):
     """An explicit SNIPER_SLAB_D override must never be second-guessed."""
     d = shallow_first_pair
