@@ -73,17 +73,28 @@ def _build() -> bool:
 
 
 def get_lib():
-    """Load (building if needed) the native library, or None."""
+    """Load (building if needed) the native library, or None.
+
+    ``SNIPER_NATIVE_LIB`` points at an alternative prebuilt .so — the
+    ASAN e2e suite uses it to run the whole CLI matrix against an
+    address-sanitized build of this same source (the reference wraps
+    every integration run in valgrind; reference
+    build-common/python/valgrindwrapper.py)."""
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        override = os.environ.get("SNIPER_NATIVE_LIB")
+        lib_path = Path(override) if override else _LIB
+        if not override and (
+            not _LIB.exists()
+            or _LIB.stat().st_mtime < _SRC.stat().st_mtime
+        ):
             if not _build():
                 return None
         try:
-            lib = ctypes.CDLL(str(_LIB))
+            lib = ctypes.CDLL(str(lib_path))
         except OSError:
             return None
         # (the two-phase bam_load/pileup_build C entries still exist for

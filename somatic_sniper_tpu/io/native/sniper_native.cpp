@@ -2943,6 +2943,12 @@ int64_t emit_lines(int32_t fmt, int64_t K, const char* names_blob,
         *p++ = '\n';
     }
     line_off[K] = p - out;
+#ifdef SNIPER_PLANT_OVERRUN
+    // test-only canary (never defined in production builds): a 1-byte
+    // heap overrun of the caller's buffer, used to prove the ASAN e2e
+    // harness actually detects overruns in this function
+    if (K > 0) out[cap] = 'X';
+#endif
     return p - out;
 }
 
