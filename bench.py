@@ -32,12 +32,17 @@ present at $SNIPER_REF_BIN or /tmp/ref/bam-somaticsniper it is timed live
 on this host; otherwise the recorded measurement from BASELINE.md
 (~130k columns/s on the dev host, single thread) is used.
 
-Device phases run in bounded subprocesses (fast e2e and the kernel
-microbench separately): on a tunneled device the per-process first
+Round-5 measurement discipline: exact and fast are timed ALTERNATED in
+the SAME process (see _interleaved_phase_body) so both modes see the
+same host conditions on this multi-tenant box, and the JSON carries
+medians + whole-process CPU per mode (``*_median_cols_per_sec``,
+``*_cpu_s``) alongside the best-of headline — steal-proof evidence that
+survives a noisy hour.  The mode phases and the kernel microbench run
+in bounded subprocesses: on a tunneled device the per-process first
 execution of a compiled shape can stall for minutes, and a hung device
-must not sink the whole benchmark (exact numbers still print).  The
-uniform-slab dispatch uses ONE compiled shape for all fast phases, so
-each subprocess pays that cost once.
+must not sink the whole benchmark (exact numbers still print, timed
+in-parent as a fallback).  The uniform-slab dispatch uses ONE compiled
+shape for all fast phases, so each subprocess pays that cost once.
 """
 
 from __future__ import annotations
@@ -188,66 +193,131 @@ def device_preflight(timeout_s: int = 90) -> bool:
         return False
 
 
-def _fast_phase_body(d200: Path, d10: Path,
-                     exact10_lines: Path | None) -> dict:
-    """Runs inside the bounded fast subprocess (see time_fast_phases)."""
-    w200, fast_lines = _time_mode(d200, "fast")
-    fast10_lines = d10 / "bench.fast10.lines"
-    out = {"w200": w200,
-           **_time_mode_windows(d10, "fast", lines_out=fast10_lines)}
+def _interleaved_phase_body(d200: Path, d10: Path) -> dict:
+    """Both modes, ALTERNATED run-for-run in one process (the bounded
+    subprocess of time_interleaved_phases).
+
+    Round-4 lesson: timing exact in the parent and fast in a later
+    subprocess hands each mode a different host hour on this
+    multi-tenant 2-vCPU box (±30% between hours), and the fast path
+    degrades ~5x more under CPU steal — three rounds of bench artifacts
+    disagreed with same-hour library A/Bs because of it.  Alternating
+    the modes inside one process gives both the same conditions, and
+    the medians + whole-process CPU per mode make the comparison
+    steal-proof: a noise spike shows up as wall>>cpu/2 on both modes
+    alike."""
+    import statistics as st
+
+    from somatic_sniper_tpu.parallel.sharded import call_pair_windows
+    from somatic_sniper_tpu.runner import call_pair
+    from somatic_sniper_tpu.utils.stats import STATS
+
+    a200 = (str(d200 / "tumor.bam"), str(d200 / "normal.bam"),
+            str(d200 / "ref.fa"))
+    a10 = (str(d10 / "tumor.bam"), str(d10 / "normal.bam"),
+           str(d10 / "ref.fa"))
+
+    def run200(mode):
+        t0 = time.time()
+        lines = list(call_pair(*a200, precision=mode, fmt="vcf"))
+        return time.time() - t0, lines
+
+    def run10(mode, keep=False):
+        t0 = time.time()
+        c0 = time.process_time()
+        out = []
+        for _wi, _w, lines in call_pair_windows(*a10, precision=mode,
+                                                fmt="vcf"):
+            if keep:
+                out.extend(lines)
+        return time.time() - t0, time.process_time() - c0, out
+
+    # warmups: compile + the per-process first-execute of each shape
+    _, fast200_lines = run200("fast")
+    _, exact200_lines = run200("exact")
+    _, _, fast10_lines = run10("fast", keep=True)
+    _, _, exact10_lines = run10("exact", keep=True)
+
+    walls: dict = {k: [] for k in ("e200", "f200", "e10", "f10")}
+    cpus: dict = {"e10": [], "f10": []}
+    dev = {}
+    for _ in range(int(os.environ.get("SNIPER_BENCH_REPS200", "4"))):
+        for mode, key in (("exact", "e200"), ("fast", "f200")):
+            walls[key].append(run200(mode)[0])
+    best_fast = float("inf")
+    for _ in range(int(os.environ.get("SNIPER_BENCH_REPS10", "3"))):
+        for mode, key in (("exact", "e10"), ("fast", "f10")):
+            s0 = STATS.snapshot()
+            wall, cpu, _ = run10(mode)
+            s1 = STATS.snapshot()
+            walls[key].append(wall)
+            cpus[key].append(cpu)
+            if mode == "fast" and wall < best_fast:
+                best_fast = wall
+                dev = {
+                    "device_s": s1.get("device", 0) - s0.get("device", 0),
+                    "dispatch_s": s1.get("pad+dispatch", 0)
+                    - s0.get("pad+dispatch", 0),
+                    "device_cols": int(s1.get("device_columns", 0)
+                                       - s0.get("device_columns", 0)),
+                    "host_deep_cols": int(
+                        s1.get("host_deep_columns", 0)
+                        - s0.get("host_deep_columns", 0)
+                    ),
+                    "host_tail_cols": int(
+                        s1.get("host_tail_columns", 0)
+                        - s0.get("host_tail_columns", 0)
+                    ),
+                    "slabs": int(s1.get("slabs_dispatched", 0)
+                                 - s0.get("slabs_dispatched", 0)),
+                }
+    out = {
+        "w200": min(walls["f200"]),
+        "w200_exact": min(walls["e200"]),
+        "wall": min(walls["f10"]),
+        "wall_exact": min(walls["e10"]),
+        "wall_median": st.median(walls["f10"]),
+        "wall_exact_median": st.median(walls["e10"]),
+        "cpu_median": st.median(cpus["f10"]),
+        "cpu_exact_median": st.median(cpus["e10"]),
+        **dev,
+    }
     # On-hardware output contract, checked where the DEVICE actually
     # ran: the 10 Mb windowed fast output vs the exact (all-host,
-    # bit-identical-to-reference) lines the parent saved.  The 200 kb
-    # pair sits below the latency-aware dispatch break-even and scores
-    # host-side by design, so a 200 kb-only diff would no longer
-    # exercise the compiled kernel.  The 200 kb diff is kept as a
-    # sanity check (exact host values satisfy the contract trivially).
-    from somatic_sniper_tpu.runner import call_pair
-    from somatic_sniper_tpu.utils.contract import diff_records
+    # bit-identical-to-reference) lines.  The 200 kb pair sits below
+    # the latency-aware dispatch break-even and scores host-side by
+    # design, so its diff is a sanity check only.
+    from somatic_sniper_tpu.utils.contract import diff_records, hist
 
-    exact_lines = list(call_pair(
-        str(d200 / "tumor.bam"), str(d200 / "normal.bam"),
-        str(d200 / "ref.fa"), precision="exact", fmt="vcf",
-    ))
     try:
-        tolerated = diff_records(fast_lines, exact_lines, "vcf")
-        if exact10_lines is not None and exact10_lines.exists():
-            tolerated += diff_records(
-                fast10_lines.read_text().splitlines(),
-                exact10_lines.read_text().splitlines(), "vcf",
-            )
+        tolerated = diff_records(fast200_lines, exact200_lines, "vcf")
+        tolerated += diff_records(fast10_lines, exact10_lines, "vcf")
         out["contract_ok"] = True
         out["contract_diffs"] = len(tolerated)
         # per-field delta histogram: a regression shows as a new class
         # or a count jump, not an opaque total (utils.contract.hist)
-        from somatic_sniper_tpu.utils.contract import hist
-
         out["contract_hist"] = hist(tolerated)
     except AssertionError as e:
         out["contract_ok"] = False
         out["contract_error"] = str(e)[:300]
-    finally:
-        if fast10_lines.exists():
-            fast10_lines.unlink()
     return out
 
 
-def time_fast_phases(d200: Path, d10: Path,
-                     exact10_lines: Path | None) -> dict:
-    """All fast e2e timings + the output contract, in one bounded
-    subprocess."""
-    e10 = f"Path({str(exact10_lines)!r})" if exact10_lines else "None"
+def time_interleaved_phases(d200: Path, d10: Path) -> dict:
+    """Both modes' e2e timings (alternated) + the output contract, in
+    one bounded subprocess (a stalled device must not sink the whole
+    benchmark; exact numbers fall back to the parent, see main)."""
     code = (
         "import bench, json, os; from pathlib import Path; "
         "os.environ['SNIPER_STATS']='1'; "
-        f"r = bench._fast_phase_body(Path({str(d200)!r}), "
-        f"Path({str(d10)!r}), {e10}); "
+        f"r = bench._interleaved_phase_body(Path({str(d200)!r}), "
+        f"Path({str(d10)!r})); "
         "print('FASTJSON ' + json.dumps(r))"
     )
     return _bounded_json(
         code, "FASTJSON",
         int(os.environ.get("SNIPER_BENCH_FAST_TIMEOUT", "1800")),
-        "fast phases",
+        "interleaved mode phases",
     )
 
 
@@ -331,20 +401,27 @@ def main() -> None:
     n_cols = count_columns(d)
     n_cols_10 = count_columns(d10)
 
-    exact_wall, _ = _time_mode(d, "exact")
-    exact10_lines = d10 / "bench.exact10.lines"
-    exact10 = _time_mode_windows(d10, "exact", lines_out=exact10_lines)
-
     fast, mfu = {}, {}
     device_unavailable = False
     if os.environ.get("SNIPER_BENCH_FAST", "1") != "0":
         if device_preflight():
-            fast = time_fast_phases(d, d10, exact10_lines)
+            fast = time_interleaved_phases(d, d10)
             mfu = time_mfu()
         else:
             device_unavailable = True
             print("bench: device preflight failed (tunnel down?) — "
                   "fast phases skipped", file=sys.stderr)
+
+    if fast.get("wall_exact"):
+        # exact numbers from the SAME interleaved subprocess as fast —
+        # the only apples-to-apples comparison on a multi-tenant host
+        exact_wall = fast["w200_exact"]
+        exact10 = {"wall": fast["wall_exact"]}
+    else:
+        # device down: exact-only timings in-parent so the bench still
+        # reports the host path
+        exact_wall, _ = _time_mode(d, "exact")
+        exact10 = _time_mode_windows(d10, "exact")
 
     exact_cps = n_cols / exact_wall
     fast_cps = n_cols / fast["w200"] if fast.get("w200") else None
@@ -384,6 +461,26 @@ def main() -> None:
         "exact_10mb_cols_per_sec": round(exact10_cps, 1),
         "fast_10mb_cols_per_sec": round(fast10_cps, 1) if fast10_cps
         else None,
+        # steal-proof evidence (round 5): medians over the interleaved
+        # reps and whole-process CPU per mode — a host-load spike
+        # inflates both modes' walls alike inside one process, and the
+        # CPU column shows which mode actually costs the host more
+        "exact_10mb_median_cols_per_sec": (
+            round(n_cols_10 / fast["wall_exact_median"], 1)
+            if fast.get("wall_exact_median") else None
+        ),
+        "fast_10mb_median_cols_per_sec": (
+            round(n_cols_10 / fast["wall_median"], 1)
+            if fast.get("wall_median") else None
+        ),
+        "exact_10mb_cpu_s": (
+            round(fast["cpu_exact_median"], 2)
+            if fast.get("cpu_exact_median") else None
+        ),
+        "fast_10mb_cpu_s": (
+            round(fast["cpu_median"], 2)
+            if fast.get("cpu_median") else None
+        ),
         "ref_cols_per_sec": round(ref_cps, 1),
         "ref_10mb_cols_per_sec": round(ref_cps10, 1) if ref_cps10
         else None,
@@ -409,6 +506,7 @@ def main() -> None:
             )
         out["slabs_dispatched_10mb"] = fast.get("slabs")
         out["host_deep_cols_10mb"] = fast.get("host_deep_cols")
+        out["host_tail_cols_10mb"] = fast.get("host_tail_cols")
     if mfu.get("cols_per_sec"):
         out["kernel_cols_per_sec"] = round(mfu["cols_per_sec"], 1)
         out["mfu"] = round(mfu["est_mfu"], 5)

@@ -1619,30 +1619,50 @@ static inline void pad16_one(const NativePileup* np, int64_t ci,
     *rms = (int32_t)rm;
 }
 
+// One column's raw kept-only lane copy (round-5 slab encoding): lanes
+// are the pileup slot words themselves with deletion entries dropped —
+// the device derives eff-quality/classes/rms and the dqstats fields
+// from the raw bits (models/somatic.py _device_dqstats), so the fill
+// is a pure filtered copy with no per-read arithmetic.
+static inline void raw_lanes_one(const NativePileup* np, int64_t ci,
+                                 int64_t D, uint32_t* row, int32_t* nk) {
+    int64_t s = np->offsets[ci], e = np->offsets[ci + 1];
+    int64_t k = 0;
+    for (int64_t i = s; i < e; ++i) {
+        uint32_t w = np->slots[i];
+        if ((w >> 21) & 1) continue;  // deletion
+        if (k < D) row[k] = w & 0x1FFFFF;
+        ++k;
+    }
+    // zero only the unwritten tail: the caller's slab buffers start
+    // calloc'd, so a full-row memset would double the write traffic
+    // (the fill is memory-bound — pure filtered copy, no arithmetic)
+    int64_t kw = k < D ? k : D;
+    if (kw < D)
+        memset(row + kw, 0, sizeof(uint32_t) * (size_t)(D - kw));
+    *nk = (int32_t)k;
+}
+
 // Fused dual-sample slab fill for the uniform-slab dispatcher
-// (parallel/slab.py): pads tumor AND normal columns and assembles the
-// bit-packed device metadata words (models/somatic.py call_batch_packed
-// layout) in one internally-threaded pass.  Replaces two pad calls plus
-// several numpy packing passes per slab part — the fast path's only net
-// host cost over exact mode at 10 Mb was dominated by exactly this.
+// (parallel/slab.py): copies tumor AND normal columns' kept slot words
+// into the u32 lane stack and assembles the bit-packed device metadata
+// (models/somatic.py call_batch_packed raw32 layout: meta0 carries only
+// the reference code; rms moved on-device) in one internally-threaded
+// pass.
 void slab_fill_pair(const NativePileup* t, const NativePileup* n,
                     const int64_t* ti, const int64_t* ni,
                     const int32_t* ref16, const int32_t* d_t,
                     const int32_t* d_n, int64_t B, int64_t D,
-                    int32_t cap_mapq, uint16_t* out_t, uint16_t* out_n,
+                    int32_t cap_mapq, uint32_t* out_t, uint32_t* out_n,
                     int32_t* meta0, int32_t* meta1, int32_t* meta2) {
+    (void)cap_mapq;  // rms is computed on-device from the raw lanes
     auto work = [&](int64_t lo, int64_t hi) {
-        memset(out_t + lo * D, 0, sizeof(uint16_t) * (size_t)(hi - lo) * D);
-        memset(out_n + lo * D, 0, sizeof(uint16_t) * (size_t)(hi - lo) * D);
         for (int64_t b = lo; b < hi; ++b) {
-            int32_t nk_t, nk_n, rms_t, rms_n;
-            pad16_one(t, ti[b], ref16[b], D, cap_mapq, out_t + b * D,
-                      &nk_t, &rms_t);
-            pad16_one(n, ni[b], ref16[b], D, cap_mapq, out_n + b * D,
-                      &nk_n, &rms_n);
-            meta0[b] = (int32_t)((uint32_t)rms_t |
-                                 ((uint32_t)ref16[b] << 24));
-            meta1[b] = rms_n;
+            int32_t nk_t, nk_n;
+            raw_lanes_one(t, ti[b], D, out_t + b * D, &nk_t);
+            raw_lanes_one(n, ni[b], D, out_n + b * D, &nk_n);
+            meta0[b] = (int32_t)((uint32_t)ref16[b] << 24);
+            meta1[b] = 0;
             meta2[b] = (int32_t)((uint32_t)d_t[b] |
                                  ((uint32_t)d_n[b] << 8) |
                                  ((uint32_t)nk_t << 16) |

@@ -282,15 +282,15 @@ def slab_fill_pair(
     meta1: np.ndarray,
     meta2: np.ndarray,
 ) -> None:
-    """Fused dual-sample pad + packed-metadata assembly into the
-    caller's slab buffers (see slab_fill_pair in the native source;
-    layout contract: models/somatic.py call_batch_packed).  All output
-    views must be C-contiguous."""
+    """Fused dual-sample raw-lane copy + packed-metadata assembly into
+    the caller's slab buffers (see slab_fill_pair in the native source;
+    layout contract: models/somatic.py call_batch_packed raw32).  All
+    output views must be C-contiguous."""
     lib = pu_t.owner._lib
     B = len(ti)
     for a in (out_t, out_n, meta0, meta1, meta2):
         assert a.flags.c_contiguous, "slab views must be contiguous"
-    assert out_t.dtype == np.uint16 and out_n.dtype == np.uint16
+    assert out_t.dtype == np.uint32 and out_n.dtype == np.uint32
     i64p = ctypes.POINTER(ctypes.c_int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
     ti_c = np.ascontiguousarray(ti, np.int64)
@@ -303,8 +303,8 @@ def slab_fill_pair(
         ti_c.ctypes.data_as(i64p), ni_c.ctypes.data_as(i64p),
         r16_c.ctypes.data_as(i32p), dt_c.ctypes.data_as(i32p),
         dn_c.ctypes.data_as(i32p), B, D, cap_mapq,
-        out_t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
-        out_n.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        out_t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        out_n.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         meta0.ctypes.data_as(i32p), meta1.ctypes.data_as(i32p),
         meta2.ctypes.data_as(i32p),
     )

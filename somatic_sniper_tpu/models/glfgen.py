@@ -59,13 +59,22 @@ class ColumnBatch(NamedTuple):
     This single-word layout is what the host pileup emits and what crosses
     PCIe/ICI — 1/6th the bytes of a struct-of-arrays batch.
 
-    Compact (u16) fast-path encoding — when ``n_keep`` is present,
-    ``slots`` is uint16 ``effq | base2<<8 | strand<<10`` holding only the
-    non-deleted entries (first ``n_keep[b]`` slots of row b), and the
-    per-column RMS-mapQ sums ride in ``rms_sum``.  Reads of equal
-    (class, effq) are interchangeable under the MAQ rank weighting, so
-    this halved encoding loses nothing the f32 path can observe; the
-    exact (f64) path requires the u32 form.
+    Raw kept-only (u32 + ``n_keep``) fast-path encoding — the
+    production slab layout: full slot words but with the deletion
+    entries already filtered out by the host fill (first ``n_keep[b]``
+    lanes of row b occupied, is_del bit never set).  ``depth`` still
+    carries the raw column depth (incl. deletions) for the consensus
+    model; rms is computed on device from the lanes.  Raw base codes
+    and qualities make the on-device dqstats computation possible
+    (models.somatic._device_dqstats).
+
+    Compact (u16) fast-path encoding — when ``n_keep`` is present and
+    ``slots`` is uint16: ``effq | base2<<8 | strand<<10`` holding only
+    the non-deleted entries, with the per-column RMS-mapQ sums riding
+    in ``rms_sum``.  Reads of equal (class, effq) are interchangeable
+    under the MAQ rank weighting, so this halved encoding loses nothing
+    the f32 path can observe; the exact (f64) path requires the full
+    u32 form.
     """
 
     slots: jax.Array   # [B, D] uint32 (or uint16, see above)
@@ -447,7 +456,35 @@ def glfgen_batch(
                 # the kernel's pairwise-rotation rank is O(D^2); deep
                 # (rare) buckets stay on the sort-based XLA path
                 backend = "xla"
-        if cols.n_keep is not None:  # compact u16 encoding
+        if cols.n_keep is not None and cols.slots.dtype == jnp.uint32:
+            # raw kept-only u32 lanes (the production slab encoding):
+            # each lane is a slot word with the deletion entries already
+            # filtered by the host fill, so the occupancy bound is
+            # n_keep and rms comes from the lanes (the fill no longer
+            # computes it — it is a pure filtered copy)
+            if backend in ("pallas", "pallas_interpret"):
+                from ..ops.pallas_glfgen import accumulate32
+
+                acc32 = partial(
+                    accumulate32, theta=theta, eta=eta, cap_mapq=cap_mapq,
+                    interpret=(backend == "pallas_interpret"),
+                )
+                if mesh is not None:
+                    acc32 = _shard_map_acc(
+                        acc32, mesh, n_in=3, n_out2d=3, n_out1d=1
+                    )
+                esum, fsum, c, rms = acc32(
+                    cols.slots, cols.n_keep, cols.ref16
+                )
+            else:
+                view = ColumnBatch(slots=cols.slots, depth=cols.n_keep,
+                                   ref16=cols.ref16)
+                info, _n = pack_info(view)
+                esum, fsum, c, rms = _fast_accumulate(
+                    info, cols.n_keep, theta, eta, cap_mapq
+                )
+            n = cols.n_keep
+        elif cols.n_keep is not None:  # compact u16 encoding
             if backend in ("pallas", "pallas_interpret"):
                 from ..ops.pallas_glfgen import accumulate16
 

@@ -229,6 +229,185 @@ def _kernel16(slots_ref, meta_ref, esum_ref, fsum_ref, c_ref, *,
     )
 
 
+def _kernel32(slots_ref, meta_ref, esum_ref, fsum_ref, c_ref, rms_ref, *,
+              SD, n_seg, theta32, eta32, log_theta, cap_mapq):
+    """Raw kept-only u32 variant of :func:`_kernel16` (production slab
+    lanes): slots are full slot words ``mapQ | baseQ<<8 | base16<<16 |
+    strand<<20`` with deletions pre-filtered by the host fill, so the
+    kernel derives eff-quality (incl. the floor-4 quirk), base classes
+    ('=' resolves to the per-segment reference code, ambiguity codes go
+    to class A — reference sniper_maqcns.c:150-153) and the rms-mapQ
+    sum itself.  Rank order uses the reference's full within-class
+    subkey ``raw_eff<<17 | valid<<16 | baseQ<<8 | mapQ`` (pack_info) —
+    the RAW eff, because the floor-4 rule applies at accumulation, not
+    in the visit order: a raw-0 read floored to 4 still ranks below a
+    raw-3 read (their floored effs differ, so eff-only ranking would
+    swap their fk weights)."""
+    s = slots_ref[:]  # i32 raw slot words (packed bits < 2^21)
+
+    LD = SD * n_seg  # == 128
+    j_idx = jax.lax.broadcasted_iota(I32, (TB, LD), 1)
+    seg = j_idx // SD
+    nk_lane = jnp.zeros((TB, LD), I32)
+    ref_lane = jnp.zeros((TB, LD), I32)
+    for si in range(n_seg):
+        nk_lane = jnp.where(seg == si, meta_ref[:, si : si + 1], nk_lane)
+        ref_lane = jnp.where(
+            seg == si, meta_ref[:, n_seg + si : n_seg + si + 1], ref_lane
+        )
+    occupied = (j_idx - seg * SD) < nk_lane
+
+    mapq = s & 0xFF
+    q = (s >> 8) & 0xFF
+    b16 = (s >> 16) & 0xF
+    strand = (s >> 20) & 1
+    code = jnp.where(b16 != 0, b16, ref_lane)
+    base2 = jnp.zeros((TB, LD), I32)  # default class A (ambiguity codes)
+    has_base = jnp.zeros((TB, LD), I32)
+    for c16, c4 in ((1, 0), (2, 1), (4, 2), (8, 3)):
+        is_c = code == c16
+        base2 = jnp.where(is_c, jnp.full((TB, LD), c4, I32), base2)
+        has_base = jnp.where(is_c, jnp.ones((TB, LD), I32), has_base)
+    eff_raw = jnp.minimum(q, mapq)
+    eff = jnp.where((eff_raw < 4) & ((q & 0x3F) != 0),
+                    jnp.full((TB, LD), 4, I32), eff_raw)
+    k4 = base2
+    k8 = (strand * 4 + k4) + seg * 8
+    upd = occupied & (eff > 0)
+    k8m = jnp.where(upd, k8, jnp.full_like(k8, -1))
+    # full within-class visit subkey (RAW eff — see docstring)
+    ck = (eff_raw << 17) | (has_base << 16) | (q << 8) | mapq
+
+    ones = jnp.ones((TB, LD), I32)
+    zeros = jnp.zeros((TB, LD), I32)
+    fzeros = jnp.zeros((TB, LD), F32)
+
+    def body(t, carry):
+        rank, tvec = carry
+        ck_r = pltpu.roll(ck, t, 1)
+        k8_r = pltpu.roll(k8m, t, 1)
+        higher = (ck_r > ck) | ((ck_r == ck) & (j_idx >= tvec))
+        return (rank + jnp.where((k8_r == k8) & higher, ones, zeros),
+                tvec + ones)
+
+    init = (jnp.zeros((TB, LD), I32), ones)
+    if n_seg == 1:
+        rank, _ = jax.lax.fori_loop(
+            jnp.int32(1), jnp.int32(LD), body, init)
+    else:
+        carry = jax.lax.fori_loop(jnp.int32(1), jnp.int32(SD), body, init)
+        rank_mid, tvec_mid = carry
+        carry = (rank_mid, tvec_mid + jnp.full((TB, LD), LD - 2 * SD + 1,
+                                               I32))
+        rank, _ = jax.lax.fori_loop(
+            jnp.int32(LD - SD + 1), jnp.int32(LD), body, carry)
+
+    r = jnp.minimum(rank, jnp.full_like(rank, 255)).astype(F32)
+    fkw = jnp.where(
+        upd,
+        jnp.exp(r * log_theta) * (F32(1.0) - eta32) + eta32,
+        fzeros,
+    )
+    eterm = fkw * eff.astype(F32)
+
+    esum_ref[:] = jnp.stack(
+        [jnp.where((seg == si) & (k4 == k), eterm, fzeros).sum(axis=1)
+         for si in range(n_seg) for k in range(4)],
+        axis=1,
+    )
+    fsum_ref[:] = jnp.stack(
+        [jnp.where((seg == si) & (k4 == k), fkw, fzeros).sum(axis=1)
+         for si in range(n_seg) for k in range(4)],
+        axis=1,
+    )
+    c_ref[:] = jnp.stack(
+        [jnp.where(upd & (seg == si) & (k4 == k), ones, zeros).sum(axis=1)
+         for si in range(n_seg) for k in range(4)],
+        axis=1,
+    )
+    mq7 = jnp.minimum(mapq & 0x7F, jnp.full((TB, LD), cap_mapq, I32))
+    rms_lane = jnp.where(occupied, mq7 * mq7, zeros)
+    rms_ref[:] = jnp.stack(
+        [jnp.where(seg == si, rms_lane, zeros).sum(axis=1)
+         for si in range(n_seg)],
+        axis=1,
+    )
+
+
+def accumulate32(slots, n_keep, ref16, theta: float = 0.85,
+                 eta: float = 0.03, cap_mapq: int = 60,
+                 interpret: bool = False):
+    """(esum f32[B,4], fsum f32[B,4], c i32[B,4], rms i32[B]) over the
+    raw kept-only u32 slab encoding — drop-in replacement for the
+    glfgen raw-u32 XLA fast path, lane-packed like accumulate16."""
+    B, D = slots.shape
+    SD = 16
+    while SD < D:
+        SD *= 2
+    SD = min(SD, 128)
+    n_seg = 128 // SD
+    Bp = ((B + TB * n_seg - 1) // (TB * n_seg)) * (TB * n_seg)
+    if Bp != B or SD != D:
+        slots = jnp.pad(slots, ((0, Bp - B), (0, SD - D)))
+        n_keep = jnp.pad(n_keep, (0, Bp - B))
+        ref16 = jnp.pad(ref16, (0, Bp - B))
+    rows = Bp // n_seg
+    si_ = jax.lax.bitcast_convert_type(slots, jnp.int32).reshape(
+        rows, n_seg * SD
+    )
+    meta = jnp.concatenate(
+        [
+            n_keep.astype(I32).reshape(rows, n_seg),
+            ref16.astype(I32).reshape(rows, n_seg),
+        ],
+        axis=1,
+    )
+
+    theta32 = np.float32(theta)
+    eta32 = np.float32(eta)
+    log_theta = (
+        np.float32(np.log(np.float64(theta32)))
+        if theta32 > 0 else np.float32(-1e30)
+    )
+    kern = functools.partial(
+        _kernel32, SD=SD, n_seg=n_seg, theta32=theta32, eta32=eta32,
+        log_theta=log_theta, cap_mapq=int(cap_mapq),
+    )
+    esum, fsum, c, rms = pl.pallas_call(
+        kern,
+        grid=(rows // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, n_seg * SD), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, n_seg * 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TB, n_seg * 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, n_seg * 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, n_seg * 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, n_seg), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, n_seg * 4), F32),
+            jax.ShapeDtypeStruct((rows, n_seg * 4), F32),
+            jax.ShapeDtypeStruct((rows, n_seg * 4), I32),
+            jax.ShapeDtypeStruct((rows, n_seg), I32),
+        ],
+        interpret=interpret,
+    )(si_, meta)
+    return (
+        esum.reshape(Bp, 4)[:B],
+        fsum.reshape(Bp, 4)[:B],
+        c.reshape(Bp, 4)[:B],
+        rms.reshape(Bp)[:B],
+    )
+
+
 def accumulate16(slots16, n_keep, theta: float = 0.85, eta: float = 0.03,
                  interpret: bool = False):
     """(esum f32[B,4], fsum f32[B,4], c i32[B,4]) over the compact u16

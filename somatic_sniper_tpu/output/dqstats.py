@@ -130,6 +130,22 @@ def get_dqstats_batch(pu, col_idx, rb4, wanted) -> list[DqStats]:
     ]
 
 
+def rows_to_dqstats(rows: np.ndarray) -> list[DqStats]:
+    """DqStats objects from precomputed [K, 18] rows (device-computed
+    slab columns or host-widened deep/tail rows)."""
+    return [
+        DqStats(
+            mean_baseq=r[0:4],
+            mean_mapq=r[4:8],
+            base_occ=r[8:12],
+            dp4=r[12:16],
+            total_depth=r[16],
+            total_mean_mapq=r[17],
+        )
+        for r in np.asarray(rows).tolist()
+    ]
+
+
 def get_dqstats_rows(pu, col_idx, rb4, wanted) -> np.ndarray:
     """[K, 18] int rows: mean_baseq[4] | mean_mapq[4] | base_occ[4] |
     dp4[4] | total_depth | total_mean_mapq — the raw layout of the

@@ -305,6 +305,12 @@ def call_pair_windows(
     # has threads to feed (each in-flight window pair holds ~50-100 MB
     # of pileup at the default window size)
     LOOKAHEAD = 2 if pool_n <= 2 else (pool_n + 1) // 2 + 1
+    try:
+        LOOKAHEAD = max(1, int(
+            os.environ.get("SNIPER_LOOKAHEAD", LOOKAHEAD)
+        ))
+    except ValueError:
+        pass
     inflight: list = [
         _submit_window(w) for _, w in todo[:LOOKAHEAD]
     ]
@@ -351,7 +357,8 @@ def call_pair_windows(
             if plan is None:
                 plan = make_plan(pu_t, pu_n, tabs, ref_blob, ref_off,
                                  prefilter, cns_mode="proof")
-            slab_disp.add_window(wi, (tid, beg, end), pu_t, pu_n, plan)
+            slab_disp.add_window(wi, (tid, beg, end), pu_t, pu_n, plan,
+                                 remaining=len(todo) - 1 - i)
             yield from slab_disp.ready()
             continue
         with _exact_cpu_ctx(precision):

@@ -57,11 +57,16 @@ from ..utils.stats import STATS
 # (the dominant production coverage) has a dmax p99.5 of ~45-47: the
 # 32->64 jump overshot pad/upload/kernel volume by a third.
 ALLOWED_D = (16, 32, 48, 64, 128)
-# 16384 beats 32768 end-to-end on the tunneled dev host: the final
-# slab's unoverlapped round trip and its held-back windows' emit are
-# the fast path's tail, and both shrink with the slab (measured
-# 2026-08-21; mid-run dispatches are hidden either way).
-DEFAULT_B = 16384
+# Smaller slabs beat bigger ones end-to-end on the tunneled dev host
+# (round 5 A/B at 10 Mb, interleaved best/median: 8192 ≈ 4096 < 16384
+# < 32768): a slab spanning ~5 windows lands its results in a burst,
+# the burst's emit work stalls the bounded load prefetch, and the
+# loaders idle — wall follows the landing CADENCE, not the dispatch
+# count, because each dispatch costs the device thread only ~5 ms CPU.
+# 8192 (~2.5 windows' survivors at 30x/250 kb) keeps the cadence
+# smooth while paying half of 4096's per-dispatch fixed link costs at
+# WGS scale.
+DEFAULT_B = 8192
 # fraction of survivor columns the slab depth must cover; the remainder
 # is scored host-side (exact), so this trades upload padding against
 # host math on the tail
@@ -134,6 +139,11 @@ class _Seg(NamedTuple):
     ref16: np.ndarray   # int32 [n]
     start: int          # row range [start, end) inside the slab
     end: int
+    # pileup indices kept so the FINAL partial slab can be scored
+    # host-side instead of dispatched (see finish): two int64 views,
+    # ~16 B/column, held only while the segment is in the open slab
+    ti: np.ndarray
+    ni: np.ndarray
 
 
 class _WindowState:
@@ -210,20 +220,35 @@ class SlabDispatcher:
         self._dhist = np.zeros(257, np.int64)
         self._total_cols = 0
         self._deep_cols = 0
+        self._windows_seen = 0
+        self._plan_cols = 0
         self._upgraded = False
         self._warned_deep = False
 
     # -- filling ---------------------------------------------------------
 
     def _alloc(self):
-        self.stacked_h = np.zeros((2, self.B, self.D), np.uint16)
+        # u32 raw kept-only lanes (round 5): the fill is a filtered copy
+        # of pileup slot words, and the device derives eff/classes/rms
+        # and the dqstats fields itself (models/somatic.py raw32)
+        self.stacked_h = np.zeros((2, self.B, self.D), np.uint32)
         self.meta_h = np.zeros((3, self.B), np.int32)
         self.fill = 0
         self.segs = []
 
-    def add_window(self, wi, win, pu_t, pu_n, plan) -> None:
+    def add_window(self, wi, win, pu_t, pu_n, plan,
+                   remaining: int | None = None) -> None:
         """Assign every plan column of a window: shallow ones into slabs,
-        deep ones to the host-side exact scorer."""
+        deep ones to the host-side exact scorer.
+
+        ``remaining`` (windows still to come, when the driver knows it)
+        enables the END-GAME cutover: once the projected rest of the run
+        fits in the open slab AND sits under the probed link break-even,
+        every further column is scored host-side immediately.  Those
+        columns would have become the finish-time host tail anyway —
+        scoring them as they arrive overlaps the work with the remaining
+        loads, and it guarantees no slab is still in flight when the
+        last load lands (the fast path's residual end-of-run stall)."""
         ws = _WindowState(wi, win, pu_t, pu_n)
         self.order.append(ws)
         n = len(plan.keys)
@@ -232,6 +257,8 @@ class SlabDispatcher:
             self._dhist += np.bincount(
                 np.minimum(dmax.astype(np.int64), 256), minlength=257
             )
+            self._windows_seen += 1
+            self._plan_cols += n
             if self.D is None:
                 # stage until enough depth evidence: the hold keeps
                 # ready() from yielding the window before assignment
@@ -243,6 +270,9 @@ class SlabDispatcher:
                     or len(self._staged) >= D_SAMPLE_WINDOWS
                 ):
                     self._drain_staged()
+            elif self._endgame(n, remaining):
+                sel = np.arange(n, dtype=np.int64)
+                self._host_cols(ws, plan, sel, "host_tail")
             else:
                 self._assign(ws, plan)
         if self.fill and len(self.order) >= self.max_live:
@@ -250,6 +280,17 @@ class SlabDispatcher:
             # could otherwise pin hundreds of windows under one slab)
             self._flush()
         self._pump()
+
+    def _endgame(self, n: int, remaining: int | None) -> bool:
+        """True when the projected rest of the run would end up as the
+        finish-time host tail anyway (fits in the open slab, below the
+        link break-even) — score it host-side NOW instead, under the
+        remaining loads."""
+        if remaining is None or self._windows_seen < 4:
+            return False
+        mean = (self._plan_cols - n) / max(self._windows_seen - 1, 1)
+        projected = self.fill + n + remaining * mean
+        return projected < min(self.B, self._tail_break_even(self.B))
 
     def _drain_staged(self) -> None:
         """Pin D from the accumulated histogram; assign staged windows."""
@@ -343,6 +384,8 @@ class SlabDispatcher:
             b = len(sel)
             s, e = self.fill, self.fill + b
             ref16 = np.ascontiguousarray(plan.ref16[sel])
+            ti = np.ascontiguousarray(plan.ti[sel])
+            ni = np.ascontiguousarray(plan.ni[sel])
             # one fused native call pads BOTH samples and assembles the
             # bit-packed metadata (models.somatic.call_batch_packed
             # layout: rms_sum < 255*cap^2 < 2^24 for D <= 255, ref16 on
@@ -350,7 +393,7 @@ class SlabDispatcher:
             # two-pad + numpy-packing sequence was the fast path's
             # dominant net host cost over exact mode at 10 Mb
             slab_fill_pair(
-                ws.pu_t, ws.pu_n, plan.ti[sel], plan.ni[sel], ref16,
+                ws.pu_t, ws.pu_n, ti, ni, ref16,
                 plan.d_t[sel], plan.d_n[sel], self.D,
                 self.params.cap_mapq,
                 self.stacked_h[0, s:e], self.stacked_h[1, s:e],
@@ -358,31 +401,54 @@ class SlabDispatcher:
                 self.meta_h[2, s:e],
             )
             self.segs.append(
-                _Seg(ws, np.ascontiguousarray(plan.keys[sel]), ref16, s, e)
+                _Seg(ws, np.ascontiguousarray(plan.keys[sel]), ref16,
+                     s, e, ti, ni)
             )
             with self._lock:
                 ws.outstanding += 1
             self.fill = e
-            STATS.add("device_columns", b)
 
-    def _host_deep(self, ws, plan, deep_idx) -> None:
-        """Deep columns: native exact scoring, no device involvement.
+    def _widen_with_dq(self, pu_t, pu_n, ti, ni, ref16, rows):
+        """Append the 36 host-computed dqstats columns to exact host
+        rows (tumor 18 then normal 18, the device row layout) so merged
+        windows concatenate uniformly with device rows, whose dqstats
+        ride home from the chip."""
+        from ..models.somatic import COMPACT_FIELDS
+        from ..output.dqstats import get_dqstats_rows
 
-        Exact output satisfies the fast contract by construction; the
-        alternative (per-depth device shapes) costs one executable
-        build/load per shape per process on tunneled links."""
+        idx = np.asarray(rows[:, 0], np.int64)
+        rb4 = np.asarray(ref16, np.int64)[idx]
+        teff = rows[:, 1 + COMPACT_FIELDS.index("tumor_eff_gt")]
+        neff = rows[:, 1 + COMPACT_FIELDS.index("normal_eff_gt")]
+        wanted = rb4 | teff | neff
+        dq_t = get_dqstats_rows(pu_t, np.asarray(ti)[idx], rb4, wanted)
+        dq_n = get_dqstats_rows(pu_n, np.asarray(ni)[idx], rb4, wanted)
+        return np.concatenate(
+            [rows, dq_t.astype(rows.dtype), dq_n.astype(rows.dtype)],
+            axis=1,
+        )
+
+    def _host_cols(self, ws, plan, sel, stat: str) -> None:
+        """Exact host scoring of a plan subset (deep columns, the
+        end-game, or the finish tail); results stage like any device
+        batch.  Exact output satisfies the fast contract by
+        construction — same calls, zero phred drift."""
         from ..io.native_api import exact_pair_rows
 
-        with STATS.timer("host_deep"):
-            sel = np.ascontiguousarray(deep_idx)
+        with STATS.timer(stat):
+            sel = np.ascontiguousarray(sel)
             p = self.params
             rows = exact_pair_rows(
                 ws.pu_t, ws.pu_n, plan.ti[sel], plan.ni[sel],
                 plan.ref16[sel], self.tabs, p.use_joint_priors,
                 p.min_somatic_qual, p.include_loh, p.include_gor,
             )
-            STATS.add("host_deep_columns", len(sel))
+            STATS.add(stat + "_columns", len(sel))
             if len(rows):
+                rows = self._widen_with_dq(
+                    ws.pu_t, ws.pu_n, plan.ti[sel], plan.ni[sel],
+                    plan.ref16[sel], rows,
+                )
                 with self._lock:
                     ws.pending.append((
                         np.asarray(plan.keys[sel], np.int64),
@@ -390,7 +456,24 @@ class SlabDispatcher:
                         rows,
                     ))
 
+    def _host_deep(self, ws, plan, deep_idx) -> None:
+        """Deep columns: native exact scoring, no device involvement
+        (per-depth device shapes would cost one executable build/load
+        per shape per process on tunneled links)."""
+        self._host_cols(ws, plan, deep_idx, "host_deep")
+
     # -- dispatch / collect ----------------------------------------------
+
+    def _tail_break_even(self, count: int) -> int:
+        """Column count below which ``count`` tail columns host-score
+        (0 = always dispatch; shares SNIPER_DEVICE_MIN_COLS semantics
+        and the probed-link default with the whole-file gate)."""
+        try:
+            from ..runner import _device_min_cols
+
+            return max(0, _device_min_cols(count))
+        except Exception:
+            return 0
 
     def _flush(self) -> None:
         if self.fill == 0:
@@ -408,6 +491,7 @@ class SlabDispatcher:
         )
         self.queue.append((self.segs, fut))
         STATS.add("slabs_dispatched", 1)
+        STATS.add("device_columns", self.fill)
         STATS.add(
             "device_upload_bytes",
             self.stacked_h.nbytes + self.meta_h.nbytes,
@@ -481,17 +565,22 @@ class SlabDispatcher:
         with STATS.timer("device"):
             cnt, rows_u8 = fut.result()
         count = int(cnt)
-        rows_u8 = np.asarray(rows_u8)[:count].astype(np.int32)
-        # decode the byte-narrow layout: idx lo/hi bytes, then fields
-        idx = rows_u8[:, 0] | (rows_u8[:, 1] << 8)
-        rows = np.concatenate([idx[:, None], rows_u8[:, 2:]], axis=1)
+        r = np.asarray(rows_u8)[:count]
+        # decode the byte-narrow layout: idx lo/hi bytes, then fields.
+        # ONE u8 -> i64 widening per segment (straight into the batch
+        # the merged emit consumes — the former i32 intermediate plus
+        # per-window re-conversion doubled the decode memory traffic)
+        idx = r[:, 0].astype(np.int32)
+        idx |= r[:, 1].astype(np.int32) << 8
         for seg in segs:
             lo = int(np.searchsorted(idx, seg.start))
             hi = int(np.searchsorted(idx, seg.end))
             sub = None
             if hi > lo:
-                sub = rows[lo:hi].copy()
+                sub = np.empty((hi - lo, r.shape[1] - 1), np.int64)
+                sub[:, 0] = idx[lo:hi]
                 sub[:, 0] -= seg.start
+                sub[:, 1:] = r[lo:hi, 2:]
             with self._lock:
                 if sub is not None:
                     seg.ws.pending.append(
@@ -511,8 +600,11 @@ class SlabDispatcher:
         base = 0
         keys_l, ref_l, rows_l = [], [], []
         for keys, ref16, rows in pending:
+            # pending batches are freshly owned (decode/_host_cols), so
+            # the index rebase mutates in place; i32 host rows widen
+            # here (np.asarray copies on dtype change only)
             r = np.asarray(rows, np.int64)
-            r = np.concatenate([r[:, :1] + base, r[:, 1:]], axis=1)
+            r[:, 0] += base
             rows_l.append(r)
             keys_l.append(keys)
             ref_l.append(ref16)
@@ -539,6 +631,46 @@ class SlabDispatcher:
             STATS.add("records_emitted", len(ws.records))
             yield ws.wi, ws.win, [r for _, r in ws.records]
 
+    def _host_tail(self) -> None:
+        """Score the open (final, partial) slab host-side via the exact
+        native scorer instead of dispatching it.
+
+        The final slab's dispatch->fetch round trip is the run's ONLY
+        unhidden device latency — every mid-run dispatch rides under
+        later plan/fill/emit work, but nothing follows the last one.
+        Through a high-latency link that round trip (~0.2-0.5 s
+        measured) dwarfs the host cost of exactly scoring the partial
+        slab (~3.2 us/column, i.e. ~0.05 s for a full 16384-row slab),
+        so below the probed break-even (runner._device_min_cols, the
+        same latency model that gates small whole-file runs) the tail
+        is cheaper on the host.  Exact values satisfy the fast-mode
+        output contract by construction — same calls, zero phred drift
+        (tests pin byte-level window invariance either way)."""
+        from ..io.native_api import exact_pair_rows
+
+        segs, self.segs = self.segs, []
+        self.fill = 0
+        p = self.params
+        with STATS.timer("host_tail"):
+            for seg in segs:
+                rows = exact_pair_rows(
+                    seg.ws.pu_t, seg.ws.pu_n, seg.ti, seg.ni, seg.ref16,
+                    self.tabs, p.use_joint_priors, p.min_somatic_qual,
+                    p.include_loh, p.include_gor,
+                )
+                STATS.add("host_tail_columns", len(seg.ti))
+                if len(rows):
+                    rows = self._widen_with_dq(
+                        seg.ws.pu_t, seg.ws.pu_n, seg.ti, seg.ni,
+                        seg.ref16, rows,
+                    )
+                with self._lock:
+                    if len(rows):
+                        seg.ws.pending.append((
+                            seg.keys, seg.ref16.astype(np.int64), rows
+                        ))
+                    seg.ws.outstanding -= 1
+
     def finish(self):
         """Flush + collect everything; yield all remaining windows.
 
@@ -547,9 +679,12 @@ class SlabDispatcher:
         landed slab's decode + merged emit runs UNDER the final partial
         slab's dispatch->fetch round trip instead of after it — the
         tunnel's ~0.2-0.5 s per-execute latency would otherwise be a
-        pure blocked tail."""
+        pure blocked tail.  A partial final slab below the probed
+        link break-even skips the device entirely (see _host_tail)."""
         if self._staged:
             self._drain_staged()  # short runs: pin D from what we have
+        if 0 < self.fill < self._tail_break_even(self.fill):
+            self._host_tail()
         self._flush()
         while self.queue:
             self._collect_one()

@@ -848,13 +848,23 @@ def emit_records_compact(
     refcache: RefCache,
     fmt: str | None = None,
 ) -> list[tuple[int, SniperRecord]]:
-    """emit_records over a device-compacted [count, 1+NF] row matrix."""
+    """emit_records over a device-compacted [count, 1+NF] row matrix.
+
+    Rows of width 1+NF+36 additionally carry the per-sample dqstats
+    fields (tumor 18 then normal 18 — computed on-device for slab
+    columns, host-appended for deep/tail columns), in which case the
+    record builder skips its own pileup walk entirely."""
     if len(rows) == 0:
         return []
     idx = rows[:, 0].astype(np.int64)
+    nf = len(COMPACT_FIELDS)
+    rows_t = rows_n = None
+    if rows.shape[1] == 1 + nf + 36:
+        rows_t = rows[:, 1 + nf:1 + nf + 18]
+        rows_n = rows[:, 1 + nf + 18:1 + nf + 36]
     f = {name: rows[:, 1 + j] for j, name in enumerate(COMPACT_FIELDS)}
     return _build_records(batch, idx, f, chars, ref16, pu_t, pu_n,
-                          refcache, fmt)
+                          refcache, fmt, rows_t=rows_t, rows_n=rows_n)
 
 
 def _build_records(
@@ -867,6 +877,8 @@ def _build_records(
     pu_n: ColumnarPileup,
     refcache: RefCache,
     fmt: str | None = None,
+    rows_t: np.ndarray | None = None,
+    rows_n: np.ndarray | None = None,
 ) -> list[tuple[int, SniperRecord]]:
     header = refcache.header
     keys = batch.keys[idx]
@@ -876,9 +888,7 @@ def _build_records(
         chars[idx] if chars is not None else _ref_chars_for(keys, refcache)
     )
     rb4 = ref16[idx].astype(np.int64)
-    wanted = rb4 | f["tumor_eff_gt"] | f["normal_eff_gt"]
-    ci_t = np.searchsorted(pu_t.ukeys, keys)
-    ci_n = np.searchsorted(pu_n.ukeys, keys)
+    have_dq = rows_t is not None and rows_n is not None
     if fmt is not None:
         # bulk text path: raw dqstats rows + one-pass line builders —
         # no DqStats/SampleData/SniperRecord objects, same bytes.
@@ -886,14 +896,20 @@ def _build_records(
         # Python f-string loop was ~25% of the exact-mode main thread
         # at 10 Mb); output.fast_emit stays as the readable reference
         # and the no-toolchain fallback (byte-equality enforced by
-        # tests/test_fast_emit.py).
+        # tests/test_fast_emit.py).  Precomputed dqstats rows (device-
+        # scored slab columns) skip the pileup walk AND the column
+        # searchsorted here.
         from .io import native_api
         from .models.somatic import COMPACT_FIELDS
         from .output.dqstats import get_dqstats_rows
 
-        with STATS.timer("emit.dqstats"):
-            rows_t = get_dqstats_rows(pu_t, ci_t, rb4, wanted)
-            rows_n = get_dqstats_rows(pu_n, ci_n, rb4, wanted)
+        if not have_dq:
+            wanted = rb4 | f["tumor_eff_gt"] | f["normal_eff_gt"]
+            ci_t = np.searchsorted(pu_t.ukeys, keys)
+            ci_n = np.searchsorted(pu_n.ukeys, keys)
+            with STATS.timer("emit.dqstats"):
+                rows_t = get_dqstats_rows(pu_t, ci_t, rb4, wanted)
+                rows_n = get_dqstats_rows(pu_n, ci_n, rb4, wanted)
         lines = None
         if all(k in f for k in COMPACT_FIELDS[:12]):
             fields = np.stack(
@@ -914,8 +930,17 @@ def _build_records(
                 fl, rows_t.tolist(), rows_n.tolist(),
             )
         return list(zip(keys.tolist(), lines))
-    dq_t = get_dqstats_batch(pu_t, ci_t, rb4, wanted)
-    dq_n = get_dqstats_batch(pu_n, ci_n, rb4, wanted)
+    if have_dq:
+        from .output.dqstats import rows_to_dqstats
+
+        dq_t = rows_to_dqstats(rows_t)
+        dq_n = rows_to_dqstats(rows_n)
+    else:
+        wanted = rb4 | f["tumor_eff_gt"] | f["normal_eff_gt"]
+        ci_t = np.searchsorted(pu_t.ukeys, keys)
+        ci_n = np.searchsorted(pu_n.ukeys, keys)
+        dq_t = get_dqstats_batch(pu_t, ci_t, rb4, wanted)
+        dq_n = get_dqstats_batch(pu_n, ci_n, rb4, wanted)
 
     # bulk numpy->python conversion: one .tolist() per column beats a
     # per-record int(np_scalar) for every field by an order of magnitude

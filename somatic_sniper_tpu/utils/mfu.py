@@ -112,19 +112,22 @@ def bench_kernel(B: int = 32768, D: int = 64, iters: int = 16,
 
     rng = np.random.default_rng(7)
     depths = rng.integers(max(1, D // 2), D + 1, B).astype(np.int32)
-    eff = rng.integers(1, 61, (B, D)).astype(np.uint16)
-    base2 = rng.integers(0, 4, (B, D)).astype(np.uint16)
-    strand = rng.integers(0, 2, (B, D)).astype(np.uint16)
-    slots = eff | (base2 << 8) | (strand << 10)
+    # raw u32 kept-only lanes (the round-5 production slab encoding):
+    # mapq | baseq<<8 | base16<<16 | strand<<20
+    mapq = rng.integers(1, 61, (B, D)).astype(np.uint32)
+    baseq = rng.integers(1, 41, (B, D)).astype(np.uint32)
+    base16 = np.asarray([1, 2, 4, 8], np.uint32)[
+        rng.integers(0, 4, (B, D))
+    ]
+    strand = rng.integers(0, 2, (B, D)).astype(np.uint32)
+    slots = mapq | (baseq << 8) | (base16 << 16) | (strand << 20)
     mask = np.arange(D)[None, :] < depths[:, None]
     stacked_h = np.where(mask[None], np.stack([slots, slots ^ 0x100]), 0)
-    stacked_h = stacked_h.astype(np.uint16)
+    stacked_h = stacked_h.astype(np.uint32)
     ref16 = rng.choice([1, 2, 4, 8], size=B).astype(np.int32)
     cap = p.cap_mapq
-    rms = (depths * min(40, cap) ** 2).astype(np.int32)
     meta_h = np.zeros((3, B), np.int32)
-    meta_h[0] = rms | (ref16 << 24)
-    meta_h[1] = rms
+    meta_h[0] = ref16 << 24
     mv = meta_h.view(np.uint32)
     mv[2] = (
         depths.astype(np.uint32)
@@ -150,7 +153,7 @@ def bench_kernel(B: int = 32768, D: int = 64, iters: int = 16,
             # data-dependent perturbation: flips the low effq bit of
             # every slot based on the previous result — a real serial
             # dependency, so LICM cannot hoist the body
-            s2 = stacked ^ (prev & 1).astype(jnp.uint16)
+            s2 = stacked ^ (prev & 1).astype(jnp.uint32)
             res = core(s2, meta)
             return acc + res.count, res.count
         acc, _ = jax.lax.fori_loop(

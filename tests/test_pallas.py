@@ -112,6 +112,75 @@ def test_glfgen_packed16_matches_u32(backend):
     assert (diff == 0).all(axis=1).mean() > 0.99
 
 
+def _to_raw32(cb: ColumnBatch) -> ColumnBatch:
+    """Reference conversion u32 -> raw kept-only slab lanes (numpy):
+    drop deletion entries, mask to the 21 packing bits, left-pack."""
+    s = np.asarray(cb.slots)
+    depth = np.asarray(cb.depth)
+    B, D = s.shape
+    out = np.zeros((B, D), np.uint32)
+    nk = np.zeros(B, np.int32)
+    for b in range(B):
+        k = 0
+        for j in range(int(depth[b])):
+            w = int(s[b, j])
+            if (w >> 21) & 1:
+                continue
+            out[b, k] = w & 0x1FFFFF
+            k += 1
+        nk[b] = k
+    return ColumnBatch(
+        slots=jnp.asarray(out), depth=cb.depth, ref16=cb.ref16,
+        n_keep=jnp.asarray(nk),
+    )
+
+
+@pytest.mark.parametrize("B,D,seed", [(64, 16, 3), (128, 48, 4),
+                                      (96, 64, 5)])
+def test_accumulate32_matches_xla_raw(B, D, seed):
+    """The lane-packed raw-u32 kernel vs the raw32 XLA path: c/rms
+    exact, weighted sums equal up to f32 summation order."""
+    from somatic_sniper_tpu.models.glfgen import _fast_accumulate, pack_info
+    from somatic_sniper_tpu.ops.pallas_glfgen import accumulate32
+
+    cb = _to_raw32(_random_batch(B, D, seed))
+    view = ColumnBatch(slots=cb.slots, depth=cb.n_keep, ref16=cb.ref16)
+    info, n = pack_info(view)
+    e_x, f_x, c_x, r_x = _fast_accumulate(info, cb.n_keep, 0.85, 0.03, 60)
+    e_p, f_p, c_p, r_p = accumulate32(
+        cb.slots, cb.n_keep, cb.ref16, theta=0.85, eta=0.03, cap_mapq=60,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(c_p), np.asarray(c_x))
+    np.testing.assert_array_equal(np.asarray(r_p), np.asarray(r_x))
+    np.testing.assert_allclose(np.asarray(e_p), np.asarray(e_x),
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_x),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas_interpret"])
+def test_glfgen_raw32_matches_u32(backend):
+    """The raw kept-only slab encoding must reproduce the plain u32
+    fast path (the fill only drops deletion entries, which never reach
+    the accumulators)."""
+    tabs = T.build_tables(T.ModelParams())
+    cb = _random_batch(128, 24, 13)
+    cb32 = _to_raw32(cb)
+    g_u32 = glfgen_batch(cb, tabs.fk, tabs.coef, tabs.lhet,
+                         precision="fast", backend="xla")
+    g_raw = glfgen_batch(cb32, tabs.fk, tabs.coef, tabs.lhet,
+                         precision="fast", backend=backend)
+    np.testing.assert_array_equal(np.asarray(g_raw.depth),
+                                  np.asarray(g_u32.depth))
+    np.testing.assert_array_equal(np.asarray(g_raw.rms_mapq),
+                                  np.asarray(g_u32.rms_mapq))
+    diff = np.abs(np.asarray(g_raw.lk).astype(int)
+                  - np.asarray(g_u32.lk).astype(int))
+    assert diff.max() <= 1  # f32 sum-order noise at quantization edges
+    assert (diff == 0).all(axis=1).mean() > 0.99
+
+
 def test_pad16_native_matches_numpy(data_dir):
     from somatic_sniper_tpu.io import native_api
     from somatic_sniper_tpu.pileup.columnize import (

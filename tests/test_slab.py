@@ -52,6 +52,52 @@ def test_partial_slab_padding_invisible(monkeypatch, data_dir):
     assert small == big
 
 
+def test_final_partial_slab_host_tail(monkeypatch, data_dir):
+    """Above the link break-even the FINAL partial slab is scored
+    host-side (no unhidden round trip); mid-run full slabs still
+    dispatch, and output must satisfy the fast contract against the
+    always-dispatch run (exact tail values have zero drift, so the
+    only legal diffs come from the device-scored majority)."""
+    from somatic_sniper_tpu.utils.contract import diff_records
+
+    d = data_dir / "e2e" / "sim1"
+    baseline = _lines_windowed(d, 200_000)  # threshold 0: all device
+
+    monkeypatch.setenv("SNIPER_SLAB_B", "64")
+    monkeypatch.setenv("SNIPER_DEVICE_MIN_COLS", "100000")
+    s0 = STATS.snapshot()
+    got = _lines_windowed(d, 200_000)
+    s1 = STATS.snapshot()
+    diff_records(got, baseline, "vcf")
+    delta = lambda k: s1.get(k, 0) - s0.get(k, 0)
+    assert delta("host_tail_columns") > 0, "tail never host-scored"
+    assert delta("slabs_dispatched") >= 1, "mid-run slabs must dispatch"
+
+
+def test_endgame_host_cutover(monkeypatch, data_dir):
+    """When the whole remaining run fits in the open slab and sits
+    under the link break-even, the dispatcher cuts over to host
+    scoring as windows arrive — with a big slab and a huge break-even
+    nothing should be dispatched at all, and output must satisfy the
+    contract against the all-device run."""
+    from somatic_sniper_tpu.utils.contract import diff_records
+
+    d = data_dir / "e2e" / "sim1"
+    baseline = _lines_windowed(d, 200_000)  # threshold 0: all device
+
+    monkeypatch.setenv("SNIPER_DEVICE_MIN_COLS", "1000000")
+    monkeypatch.setenv("SNIPER_SLAB_B", "65536")
+    s0 = STATS.snapshot()
+    got = _lines_windowed(d, 20_000)
+    s1 = STATS.snapshot()
+    diff_records(got, baseline, "vcf")
+    delta = lambda k: s1.get(k, 0) - s0.get(k, 0)
+    assert delta("host_tail_columns") > 0
+    assert delta("slabs_dispatched") == 0, (
+        "endgame + finish tail should have host-scored everything"
+    )
+
+
 def test_max_live_force_flush(monkeypatch, data_dir):
     """Sparse windows under a huge slab must still flush (bounded
     held-window memory) and yield identical records."""

@@ -1,17 +1,33 @@
-"""slab_fill_pair equivalence: the fused native fill must reproduce the
-two-pad + numpy metadata assembly it replaced, bit for bit."""
+"""slab_fill_pair equivalence: the fused native fill must write exactly
+the raw kept-only slot lanes + packed metadata the device kernel
+expects (models/somatic.py call_batch_packed raw32 layout)."""
 
 import numpy as np
 
 from somatic_sniper_tpu.io import native_api
+from somatic_sniper_tpu.io.bam import read_bam_header
+from somatic_sniper_tpu.io.fasta import FastaFile
 from somatic_sniper_tpu.models.tables import ModelParams, build_tables
 from somatic_sniper_tpu.pileup.prefilter import prefilter_tables
 from somatic_sniper_tpu.runner import _ref_blob
-from somatic_sniper_tpu.io.fasta import FastaFile
-from somatic_sniper_tpu.io.bam import read_bam_header
 
 
-def test_fused_fill_matches_two_pass(data_dir):
+def _expected_lanes(pu, ci, D):
+    """Numpy oracle: per column, the non-deleted slot words (masked to
+    the 21 packing bits), first D lanes, zero-padded, plus kept count."""
+    out = np.zeros((len(ci), D), np.uint32)
+    nk = np.zeros(len(ci), np.int32)
+    for r, c in enumerate(np.asarray(ci)):
+        w = np.asarray(
+            pu.slots[pu.offsets[c]:pu.offsets[c + 1]], np.uint32
+        )
+        w = w[((w >> 21) & 1) == 0] & 0x1FFFFF
+        nk[r] = len(w)
+        out[r, : min(len(w), D)] = w[:D]
+    return out, nk
+
+
+def test_fused_fill_matches_raw_slots(data_dir):
     d = data_dir / "e2e" / "sim1"
     _, pu_t = native_api.load_and_columnize(str(d / "tumor.bam"))
     _, pu_n = native_api.load_and_columnize(str(d / "normal.bam"))
@@ -27,12 +43,10 @@ def test_fused_fill_matches_two_pass(data_dir):
     n = len(plan.keys)
     assert n > 8
     D, cap = 32, 60
-    sel = np.arange(n, dtype=np.int64)
     ref16 = np.ascontiguousarray(plan.ref16, np.int32)
 
-    # fused
-    out_t = np.full((n, D), 0xAB, np.uint16)  # junk: fill must overwrite
-    out_n = np.full((n, D), 0xCD, np.uint16)
+    out_t = np.full((n, D), 0xABABABAB, np.uint32)  # junk: must overwrite
+    out_n = np.full((n, D), 0xCDCDCDCD, np.uint32)
     m0 = np.zeros(n, np.int32)
     m1 = np.zeros(n, np.int32)
     m2 = np.zeros(n, np.int32)
@@ -41,18 +55,16 @@ def test_fused_fill_matches_two_pass(data_dir):
         D, cap, out_t, out_n, m0, m1, m2,
     )
 
-    # original two-pass path
-    ref_t, nk_t, rms_t = pu_t.owner.pad16(plan.ti, ref16, D, cap)
-    ref_n, nk_n, rms_n = pu_n.owner.pad16(plan.ni, ref16, D, cap)
-    assert (out_t == ref_t).all()
-    assert (out_n == ref_n).all()
-    exp0 = rms_t | (ref16.astype(np.int32) << 24)
+    exp_t, nk_t = _expected_lanes(pu_t, plan.ti, D)
+    exp_n, nk_n = _expected_lanes(pu_n, plan.ni, D)
+    assert (out_t == exp_t).all()
+    assert (out_n == exp_n).all()
+    assert (m0 == ref16.astype(np.int32) << 24).all()
+    assert (m1 == 0).all()
     exp2 = (
         plan.d_t.astype(np.uint32)
         | (plan.d_n.astype(np.uint32) << 8)
-        | (nk_t.view(np.uint32) << 16)
-        | (nk_n.view(np.uint32) << 24)
+        | (nk_t.view(np.uint32).astype(np.uint32) << 16)
+        | (nk_n.view(np.uint32).astype(np.uint32) << 24)
     ).view(np.int32)
-    assert (m0 == exp0).all()
-    assert (m1 == rms_n).all()
     assert (m2 == exp2).all()
