@@ -535,6 +535,47 @@ def glfgen_batch(
     ).astype(I32)
     rms_mapq = jnp.where(nz, rms_mapq, 0)
 
+    # Fused Pallas likelihood assembly (round 5): the ten-genotype
+    # table-lookup stage was ~74% of the slab kernel as XLA einsums
+    # (tiny term axes tile the MXU at ~2%); the fused kernel builds the
+    # block R tile with one well-shaped MXU matmul and resolves every
+    # term in-register, bit-identical to the XLA path below (tests
+    # assert exact equality).  Depth-capped at 64 (VMEM) — deeper
+    # buckets keep the XLA assembly.  SNIPER_FUSED_ASSEMBLY=0 opts out
+    # (read at trace time).
+    import os as _os
+
+    if (
+        precision != "exact"
+        and backend in ("pallas", "pallas_interpret")
+        and cols.slots.shape[1] <= 64
+        and _os.environ.get("SNIPER_FUSED_ASSEMBLY", "1") != "0"
+    ):
+        from ..ops.pallas_glfgen import assembly10
+
+        NKf = int(cols.slots.shape[1]) + 1
+        interp = backend == "pallas_interpret"
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            fused = jax.shard_map(
+                partial(assembly10, interpret=interp),
+                mesh=mesh,
+                in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                          P(axis), P(None, None, None), P(None, None)),
+                out_specs=(P(axis, None), P(axis)),
+                check_vma=False,
+            )
+        else:
+            fused = partial(assembly10, interpret=interp)
+        lk, min_lk = fused(
+            esum, fsum, c, n, coef[4:64, :NKf, :NKf], lhet[:NKf, :NKf],
+        )
+        return GlfResult(lk=lk, min_lk=min_lk,
+                         depth=jnp.minimum(n, 16777215),
+                         rms_mapq=rms_mapq)
+
     # depth rescale of c[] (reference sniper_maqcns.c:178-182)
     c_tot = c.sum(axis=1)
     scale_needed = c_tot > 255

@@ -334,6 +334,202 @@ def _kernel32(slots_ref, meta_ref, esum_ref, fsum_ref, c_ref, rms_ref, *,
     )
 
 
+ASM_TB = 128  # assembly block rows (VMEM: the [TB, 60*NK] R tile)
+
+
+def _kernel_asm(es_ref, fs_ref, c_ref, n_ref, ct_ref, lhet_ref,
+                out_ref, *, NK, F, Fp, LFp):
+    """Fused 10-genotype likelihood assembly (reference
+    sniper_maqcns.c:184-244), one VMEM-resident pass per [ASM_TB]
+    column block.
+
+    The XLA fast path materializes R[b,e,k] = coef[e+4, c_tot[b], k]
+    in HBM and evaluates the ten terms as batched einsums whose tiny
+    term axis (10) tiles the MXU at ~2% utilization — likelihood
+    assembly was ~74% of the measured slab time.  Here the whole block
+    R tile is built by ONE well-shaped MXU matmul (one_hot(c_tot) @
+    coefT, both VMEM-resident) and each term's coef value is selected
+    by a flat-index lane reduction; lhet, the p-matrix, the fix-p[k,k]
+    adjustment and the u8 quantization all stay in-register.  Every
+    arithmetic step replicates the XLA fast path's f32 op order, so
+    the outputs are bit-identical (tests assert equality).
+
+    Outputs: out[:, 0:10] = lk, out[:, 10] = min_lk (i32).
+    """
+    TB2 = es_ref.shape[0]
+    HI = jax.lax.Precision.HIGHEST
+    es = es_ref[:]                    # [TB, 4] f32
+    fs = fs_ref[:]
+    cc = c_ref[:]                     # [TB, 4] i32
+    n = n_ref[:]                      # [TB, 1] i32
+
+    c_tot = cc[:, 0:1] + cc[:, 1:2] + cc[:, 2:3] + cc[:, 3:4]  # [TB,1]
+
+    # R tile: one MXU matmul against the [128, Fp] transposed coef
+    # subtable (rows m = c_tot values; columns f = (e-4)*NK + k)
+    iota_k = jax.lax.broadcasted_iota(I32, (TB2, 128), 1)
+    oh_ct = jnp.where(iota_k == c_tot, jnp.full((TB2, 128), 1.0, F32),
+                      jnp.zeros((TB2, 128), F32))
+    R = jax.lax.dot_general(
+        oh_ct, ct_ref[:], (((1,), (0,)), ((), ())),
+        precision=HI, preferred_element_type=F32,
+    )  # [TB, Fp]
+
+    iota_f = jax.lax.broadcasted_iota(I32, (TB2, Fp), 1)
+    iota_lf = jax.lax.broadcasted_iota(I32, (TB2, LFp), 1)
+    lhet_row = lhet_ref[:]            # [1, LFp] flattened lhet_sub
+    fzero1 = jnp.zeros((TB2, 1), F32)
+
+    def others_f(v, excl):
+        t = fzero1
+        for q in range(4):
+            if q in excl:
+                continue
+            t = t + v[:, q:q + 1]
+        return t
+
+    def others_i(v, excl):
+        t = jnp.zeros((TB2, 1), I32)
+        for q in range(4):
+            if q in excl:
+                continue
+            t = t + v[:, q:q + 1]
+        return t
+
+    triu = [(j, k) for j in range(4) for k in range(j, 4)]
+    cols = []
+    for j, k in triu:
+        excl = (j,) if j == k else (j, k)
+        tmp1 = others_f(es, excl)
+        tmp3 = others_f(fs, excl)
+        tmp2 = others_i(cc, excl)
+        ratio = jnp.where(
+            tmp2 > 0,
+            tmp1 / jnp.where(tmp3 == 0.0, jnp.full_like(tmp3, 1.0), tmp3),
+            fzero1,
+        )
+        bar = jnp.clip(jnp.floor(ratio + 0.5).astype(I32), 4, 63)
+        fi = (bar - 4) * NK + tmp2
+        cf = jnp.where(iota_f == fi, R, jnp.zeros((TB2, Fp), F32)).sum(
+            axis=1, keepdims=True
+        )
+        if j == k:
+            cols.append(jnp.where(tmp2 > 0, tmp1 + cf, fzero1))
+        else:
+            li = cc[:, j:j + 1] * NK + cc[:, k:k + 1]
+            lv = jnp.where(
+                iota_lf == li,
+                jnp.broadcast_to(lhet_row, (TB2, LFp)),
+                jnp.zeros((TB2, LFp), F32),
+            ).sum(axis=1, keepdims=True)
+            lh = F32(-4.343) * lv
+            cols.append(jnp.where(tmp2 > 0, (lh + tmp1) + cf, lh))
+    cols = [jnp.maximum(col, fzero1) for col in cols]
+
+    # fix p[k,k] (reference sniper_maqcns.c:216-233): C scan tie
+    # semantics — strict comparisons, first index wins
+    max1 = jnp.full((TB2, 1), -1.0, F32)
+    max2 = jnp.full((TB2, 1), -1.0, F32)
+    max_k = jnp.full((TB2, 1), -1, I32)
+    for q in range(4):
+        e_k = es[:, q:q + 1]
+        gt1 = e_k > max1
+        gt2 = (~gt1) & (e_k > max2)
+        max2 = jnp.where(gt1, max1, jnp.where(gt2, e_k, max2))
+        max1 = jnp.where(gt1, e_k, max1)
+        max_k = jnp.where(gt1, jnp.full((TB2, 1), q, I32), max_k)
+    diag_t = [t for t, (j, k) in enumerate(triu) if j == k]
+    min1 = jnp.full((TB2, 1), 1e30, F32)
+    min2 = jnp.full((TB2, 1), 1e30, F32)
+    min_k = jnp.full((TB2, 1), -1, I32)
+    for q in range(4):
+        d_k = cols[diag_t[q]]
+        lt1 = d_k < min1
+        lt2 = (~lt1) & (d_k < min2)
+        min2 = jnp.where(lt1, min1, jnp.where(lt2, d_k, min2))
+        min1 = jnp.where(lt1, d_k, min1)
+        min_k = jnp.where(lt1, jnp.full((TB2, 1), q, I32), min_k)
+    fix = (max1 > max2) & ((min_k != max_k) | (min1 + 1.0 > min2))
+    fixed_val = jnp.where(min1 > 1.0, min1 - 1.0, fzero1)
+    for q in range(4):
+        t = diag_t[q]
+        sel = fix & (max_k == q)
+        cols[t] = jnp.where(sel, fixed_val, cols[t])
+
+    # quantization to glf1_t (reference sniper_maqcns.c:236-244)
+    min_p = cols[0]
+    for col in cols[1:]:
+        min_p = jnp.minimum(min_p, col)
+    min_lk = jnp.where(
+        min_p > 255.0, jnp.full((TB2, 1), 255, I32),
+        jnp.floor(min_p + 0.5).astype(I32),
+    )
+    nz = n > 0
+    out = []
+    for col in cols:
+        dlk = col - min_p
+        lk = jnp.where(
+            dlk > 255.0, jnp.full((TB2, 1), 255, I32),
+            jnp.floor(dlk + 0.5).astype(I32),
+        )
+        out.append(jnp.where(nz, lk, jnp.zeros((TB2, 1), I32)))
+    out.append(jnp.where(nz, min_lk, jnp.zeros((TB2, 1), I32)))
+    out_ref[:, 0:11] = jnp.concatenate(out, axis=1)
+    out_ref[:, 11:] = jnp.zeros((TB2, out_ref.shape[1] - 11), I32)
+
+
+def assembly10(esum, fsum, c, n, coef_sub, lhet_sub,
+               interpret: bool = False):
+    """(lk i32[B,10], min_lk i32[B]) — fused likelihood assembly.
+
+    ``coef_sub`` is coef[4:64, :NK, :NK] f32, ``lhet_sub`` lhet[:NK,:NK]
+    f32.  Valid for NK <= 65 (slab depths <= 64 — deeper buckets keep
+    the XLA assembly).  Bit-identical to the XLA fast path."""
+    B = esum.shape[0]
+    NK = coef_sub.shape[1]
+    assert NK <= 65, "fused assembly supports NK <= 65"
+    F = 60 * NK
+    Fp = ((F + 127) // 128) * 128
+    LFp = ((NK * NK + 127) // 128) * 128
+    # coefT[m, (e-4)*NK + k] = coef_sub[e-4, m, k], padded to [128, Fp]
+    ct = jnp.transpose(coef_sub, (1, 0, 2)).reshape(NK, F)
+    ct = jnp.pad(ct, ((0, 128 - NK), (0, Fp - F)))
+    lf = jnp.pad(lhet_sub.reshape(1, NK * NK),
+                 ((0, 0), (0, LFp - NK * NK)))
+
+    Bp = ((B + ASM_TB - 1) // ASM_TB) * ASM_TB
+    if Bp != B:
+        esum = jnp.pad(esum, ((0, Bp - B), (0, 0)))
+        fsum = jnp.pad(fsum, ((0, Bp - B), (0, 0)))
+        c = jnp.pad(c, ((0, Bp - B), (0, 0)))
+        n = jnp.pad(n, (0, Bp - B))
+    kern = functools.partial(_kernel_asm, NK=NK, F=F, Fp=Fp, LFp=LFp)
+    out = pl.pallas_call(
+        kern,
+        grid=(Bp // ASM_TB,),
+        in_specs=[
+            pl.BlockSpec((ASM_TB, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ASM_TB, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ASM_TB, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ASM_TB, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, Fp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LFp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ASM_TB, 16), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, 16), I32),
+        interpret=interpret,
+    )(esum.astype(F32), fsum.astype(F32), c.astype(I32),
+      n.astype(I32).reshape(Bp, 1), ct.astype(F32), lf.astype(F32))
+    return out[:B, 0:10], out[:B, 10]
+
+
 def accumulate32(slots, n_keep, ref16, theta: float = 0.85,
                  eta: float = 0.03, cap_mapq: int = 60,
                  interpret: bool = False):

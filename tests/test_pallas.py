@@ -181,6 +181,33 @@ def test_glfgen_raw32_matches_u32(backend):
     assert (diff == 0).all(axis=1).mean() > 0.99
 
 
+def test_fused_assembly_bit_identical(monkeypatch):
+    """The fused Pallas likelihood assembly must reproduce the XLA
+    assembly EXACTLY (not ±1): same accumulate backend, only the
+    assembly differs, so any lk/min_lk deviation is a kernel bug.
+    jax.clear_caches() busts the jit cache between the two traces
+    (SNIPER_FUSED_ASSEMBLY is read at trace time)."""
+    import jax
+
+    tabs = T.build_tables(T.ModelParams())
+    cb = _to_raw32(_random_batch(256, 48, 17))
+    monkeypatch.delenv("SNIPER_FUSED_ASSEMBLY", raising=False)
+    jax.clear_caches()
+    g_fused = glfgen_batch(cb, tabs.fk, tabs.coef, tabs.lhet,
+                           precision="fast", backend="pallas_interpret")
+    lk_f = np.asarray(g_fused.lk).copy()
+    mlk_f = np.asarray(g_fused.min_lk).copy()
+    monkeypatch.setenv("SNIPER_FUSED_ASSEMBLY", "0")
+    jax.clear_caches()
+    g_xla = glfgen_batch(cb, tabs.fk, tabs.coef, tabs.lhet,
+                         precision="fast", backend="pallas_interpret")
+    np.testing.assert_array_equal(lk_f, np.asarray(g_xla.lk))
+    np.testing.assert_array_equal(mlk_f, np.asarray(g_xla.min_lk))
+    np.testing.assert_array_equal(np.asarray(g_fused.rms_mapq),
+                                  np.asarray(g_xla.rms_mapq))
+    jax.clear_caches()
+
+
 def test_pad16_native_matches_numpy(data_dir):
     from somatic_sniper_tpu.io import native_api
     from somatic_sniper_tpu.pileup.columnize import (
