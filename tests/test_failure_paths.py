@@ -1,0 +1,223 @@
+"""In-process coverage of the failure/fallback paths that only fire
+when something goes wrong on a pod: CLI error exits, the collective
+merge guards, BAI edge queries, the pure-Python BGZF fallback, and the
+BAM writer's block machinery.
+
+These paths previously ran only inside subprocesses (where line
+coverage cannot see them) or not at all — untested fallbacks rot.
+"""
+
+import gzip
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from somatic_sniper_tpu.cli.main import main
+from somatic_sniper_tpu.io import bai as bai_mod
+from somatic_sniper_tpu.io import bgzf
+
+
+# ---------------------------------------------------------------- CLI
+
+
+def test_cli_missing_ref_exits_1(capsys, data_dir):
+    rc = main([str(data_dir / "t-small.bam"),
+               str(data_dir / "n-small.bam"), "/tmp/x.out"])
+    assert rc == 1
+    assert "reference sequence" in capsys.readouterr().err
+
+
+def test_cli_unreadable_input_exits_1(capsys, data_dir, tmp_path):
+    rc = main(["-f", str(data_dir / "small.fa"),
+               str(tmp_path / "nope.bam"), str(data_dir / "n-small.bam"),
+               str(tmp_path / "x.out")])
+    assert rc == 1
+    assert "bam-somaticsniper-tpu:" in capsys.readouterr().err
+
+
+def test_cli_malformed_fai_actionable_error(capsys, data_dir, tmp_path):
+    """The task-5 error surfaces through the CLI's fail-fast path."""
+    fa = tmp_path / "g.fa"
+    fa.write_bytes((data_dir / "small.fa").read_bytes())
+    (tmp_path / "g.fa.fai").write_text("17\t900\n")
+    rc = main(["-F", "vcf", "-f", str(fa),
+               str(data_dir / "t-small.bam"), str(data_dir / "n-small.bam"),
+               str(tmp_path / "x.out")])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "delete the .fai" in err
+
+
+def test_cli_jobs_rejects_manifest(capsys, data_dir, tmp_path):
+    rc = main(["-f", str(data_dir / "small.fa"), "--jobs", "2",
+               "--manifest", str(tmp_path / "m"),
+               str(data_dir / "t-small.bam"), str(data_dir / "n-small.bam"),
+               str(tmp_path / "x.out")])
+    assert rc == 1
+    assert "cannot combine" in capsys.readouterr().err
+
+
+def test_cli_jobs_clamp_and_worker_failure(capsys, data_dir, tmp_path):
+    """--jobs above the core count clamps with a warning, and a failing
+    worker (bad reference) propagates a nonzero exit with a message."""
+    rc = main(["-f", str(tmp_path / "missing.fa"), "--jobs", "99",
+               str(data_dir / "e2e/sim1/tumor.bam"),
+               str(data_dir / "e2e/sim1/normal.bam"),
+               str(tmp_path / "x.out")])
+    err = capsys.readouterr().err
+    assert rc != 0
+    assert "clamped" in err
+    assert "worker failed" in err
+
+
+# ---------------------------------------------------------- collective
+
+
+def test_merge_barrier_single_process_noop():
+    from somatic_sniper_tpu.parallel.collective import merge_barrier
+
+    merge_barrier()  # no distributed client: returns without error
+
+
+def test_merge_barrier_private_api_unavailable(monkeypatch, capsys):
+    """A jax upgrade that drops the private barrier API must degrade to
+    a warning, not fail healthy merges."""
+    from somatic_sniper_tpu.parallel import collective
+
+    monkeypatch.setitem(sys.modules, "jax._src.distributed",
+                        types.ModuleType("fake"))
+    collective.merge_barrier()
+    assert "barrier API unavailable" in capsys.readouterr().err
+
+
+def test_chunk_bytes_env_parsing(monkeypatch):
+    from somatic_sniper_tpu.parallel.collective import (DEFAULT_CHUNK,
+                                                        _chunk_bytes)
+
+    monkeypatch.setenv("SNIPER_MERGE_CHUNK", "garbage")
+    assert _chunk_bytes() == DEFAULT_CHUNK
+    monkeypatch.setenv("SNIPER_MERGE_CHUNK", "10")
+    assert _chunk_bytes() == 4096  # floor
+    monkeypatch.setenv("SNIPER_MERGE_CHUNK", "65536")
+    assert _chunk_bytes() == 65536
+
+
+def test_merge_timeout_env_parsing(monkeypatch):
+    from somatic_sniper_tpu.parallel.collective import merge_barrier
+
+    monkeypatch.setenv("SNIPER_MERGE_TIMEOUT_MS", "not-a-number")
+    merge_barrier()  # falls back to the default timeout, still a no-op
+
+
+# ----------------------------------------------------------------- BAI
+
+
+def test_reg2bin_member_of_reg2bins():
+    """SAM §5.3 invariant: a read's own bin is always among the bins
+    that a query overlapping it inspects."""
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        beg = int(rng.integers(0, 1 << 29))
+        end = beg + int(rng.integers(1, 1 << 16))
+        assert bai_mod.reg2bin(beg, end) in bai_mod.reg2bins(beg, end)
+    # boundary geometry: 16 kb tile edges
+    assert bai_mod.reg2bin(0, 1) == bai_mod.reg2bin(0, 1 << 14)
+    assert bai_mod.reg2bin(1 << 14, (1 << 14) + 1) != bai_mod.reg2bin(0, 1)
+
+
+def test_region_chunks_edges(data_dir):
+    idx = bai_mod.ensure_index(data_dir / "e2e/sim1/tumor.bam")
+    # out-of-range tids
+    assert bai_mod.region_chunks(idx, -1, 0, 100) == []
+    assert bai_mod.region_chunks(idx, 99, 0, 100) == []
+    # query beyond the contig's data: no chunks (or none overlapping)
+    far = bai_mod.region_chunks(idx, 0, 1 << 28, (1 << 28) + 100)
+    assert far == []
+    # merged chunks are sorted and non-overlapping
+    got = bai_mod.region_chunks(idx, 0, 0, 1 << 20)
+    assert got == sorted(got)
+    for (a1, b1), (a2, _b2) in zip(got, got[1:]):
+        assert b1 < a2
+
+
+def test_ensure_index_caches_to_disk(data_dir, tmp_path, monkeypatch):
+    src = data_dir / "e2e/sim1/tumor.bam"
+    bam = tmp_path / "t.bam"
+    bam.write_bytes(src.read_bytes())
+    idx1 = bai_mod.ensure_index(bam)
+    assert (tmp_path / "t.bam.bai").exists()
+    monkeypatch.setattr(
+        bai_mod, "build_index",
+        lambda p: (_ for _ in ()).throw(AssertionError("rebuilt")),
+    )
+    idx2 = bai_mod.ensure_index(bam)
+    assert len(idx1.refs) == len(idx2.refs)
+    for r1, r2 in zip(idx1.refs, idx2.refs):
+        assert set(r1.bins) == set(r2.bins)
+
+
+# ---------------------------------------------------------------- BGZF
+
+
+def test_bgzf_fallback_roundtrip(data_dir):
+    raw = (data_dir / "t-small.bam").read_bytes()
+    whole = bgzf.decompress_file(data_dir / "t-small.bam")
+    blocks = bgzf.scan_blocks(raw)
+    assert int(blocks[:, 1].sum()) == len(raw)
+    assert (blocks[1:, 0] == blocks[:-1, 0] + blocks[:-1, 1]).all()
+    assert bgzf.decompress_blocks(raw, blocks) == whole
+    assert whole[:4] == b"BAM\x01"
+
+
+def test_bgzf_scan_rejects_non_bgzf():
+    with pytest.raises(ValueError, match="bad gzip magic"):
+        bgzf.scan_blocks(b"not a gzip stream")
+    # plain gzip (no BC subfield) is not BGZF
+    with pytest.raises(ValueError, match="missing BC"):
+        bgzf.scan_blocks(gzip.compress(b"plain gzip data"))
+
+
+def test_bgzf_eof_block_is_valid_empty_block():
+    blocks = bgzf.scan_blocks(bgzf.BGZF_EOF)
+    assert len(blocks) == 1
+    assert bgzf.decompress_blocks(bgzf.BGZF_EOF, blocks) == b""
+
+
+# ---------------------------------------------------------- BAM writer
+
+
+def test_bgzf_compress_multi_block_scan():
+    from somatic_sniper_tpu.io.bam_writer import bgzf_compress
+
+    data = bytes(range(256)) * 1024  # 256 KiB -> several BGZF blocks
+    comp = bgzf_compress(data, block_size=0xFF00)
+    blocks = bgzf.scan_blocks(comp)
+    assert len(blocks) >= 4
+    assert bgzf.decompress_blocks(comp, blocks) == data
+
+
+def test_encode_record_features_roundtrip(tmp_path):
+    """Reverse strand, clips, '='/X ops and multi-op CIGARs survive a
+    write -> native-load round trip (depths seen by the pileup)."""
+    from somatic_sniper_tpu.io import native_api
+    from somatic_sniper_tpu.io.bam_writer import encode_record, write_bam
+
+    recs = [
+        encode_record(0, 10, 60, 0, "ACGTACGTAC", bytes([30] * 10),
+                      [(4, "S"), (6, "M")], read_name="fwd"),
+        encode_record(0, 20, 13, 1, "ACGTACGTAC", bytes([25] * 10),
+                      [(5, "="), (1, "X"), (4, "M")], read_name="rev"),
+        encode_record(0, 40, 7, 0, "ACGT", bytes([20] * 4),
+                      [(2, "M"), (3, "D"), (2, "M")], read_name="del"),
+    ]
+    bam = tmp_path / "feat.bam"
+    write_bam(bam, ["c1"], [1000], recs)
+    header, pu = native_api.load_and_columnize(str(bam))
+    assert header.ref_names == ["c1"]
+    assert len(pu.ukeys) > 0
+    # the deletion span contributes deletion entries, not bases
+    keys = np.asarray(pu.ukeys)
+    poss = keys & ((1 << 40) - 1)
+    assert set(range(40, 47)).issubset(set(poss.tolist()))
