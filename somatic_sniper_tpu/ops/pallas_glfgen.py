@@ -237,12 +237,20 @@ def _kernel32(slots_ref, meta_ref, esum_ref, fsum_ref, c_ref, rms_ref, *,
     kernel derives eff-quality (incl. the floor-4 quirk), base classes
     ('=' resolves to the per-segment reference code, ambiguity codes go
     to class A — reference sniper_maqcns.c:150-153) and the rms-mapQ
-    sum itself.  Rank order uses the reference's full within-class
-    subkey ``raw_eff<<17 | valid<<16 | baseQ<<8 | mapQ`` (pack_info) —
-    the RAW eff, because the floor-4 rule applies at accumulation, not
-    in the visit order: a raw-0 read floored to 4 still ranks below a
-    raw-3 read (their floored effs differ, so eff-only ranking would
-    swap their fk weights)."""
+    sum itself.
+
+    Rank semantics: the reference visits reads in descending RAW-eff
+    subkey order within a class — a raw-0 read floored to 4 still
+    ranks below a raw-3 read (their floored effs differ, so eff-only
+    ranking would swap their fk weights).  The pairwise O(D²) rank loop
+    of the earlier kernels is replaced by a 128-lane bitonic sort on
+    ``cls<<17 | ~(raw_eff<<9 | valid<<8 | baseQ)`` (28 compare-exchange
+    substages vs 126 rotation trips): after the sort, rank = lane
+    index − class start (a 7-step prefix-max), and floored eff / class
+    / segment are all re-derived from the sorted key itself.  mapQ is
+    dropped from the subkey — reads tying on (eff, valid, baseQ) have
+    identical floored eff and are interchangeable under the fk
+    weighting."""
     s = slots_ref[:]  # i32 raw slot words (packed bits < 2^21)
 
     LD = SD * n_seg  # == 128
@@ -268,68 +276,105 @@ def _kernel32(slots_ref, meta_ref, esum_ref, fsum_ref, c_ref, rms_ref, *,
         is_c = code == c16
         base2 = jnp.where(is_c, jnp.full((TB, LD), c4, I32), base2)
         has_base = jnp.where(is_c, jnp.ones((TB, LD), I32), has_base)
-    eff_raw = jnp.minimum(q, mapq)
-    eff = jnp.where((eff_raw < 4) & ((q & 0x3F) != 0),
-                    jnp.full((TB, LD), 4, I32), eff_raw)
-    k4 = base2
-    k8 = (strand * 4 + k4) + seg * 8
-    upd = occupied & (eff > 0)
-    k8m = jnp.where(upd, k8, jnp.full_like(k8, -1))
-    # full within-class visit subkey (RAW eff — see docstring)
-    ck = (eff_raw << 17) | (has_base << 16) | (q << 8) | mapq
+    eff_raw0 = jnp.minimum(q, mapq)
+    eff0 = jnp.where((eff_raw0 < 4) & ((q & 0x3F) != 0),
+                     jnp.full((TB, LD), 4, I32), eff_raw0)
+    k8 = (strand * 4 + base2) + seg * 8
+    upd = occupied & (eff0 > 0)
 
     ones = jnp.ones((TB, LD), I32)
     zeros = jnp.zeros((TB, LD), I32)
     fzeros = jnp.zeros((TB, LD), F32)
 
-    def body(t, carry):
-        rank, tvec = carry
-        ck_r = pltpu.roll(ck, t, 1)
-        k8_r = pltpu.roll(k8m, t, 1)
-        higher = (ck_r > ck) | ((ck_r == ck) & (j_idx >= tvec))
-        return (rank + jnp.where((k8_r == k8) & higher, ones, zeros),
-                tvec + ones)
+    # rms from the UNSORTED lanes (independent of visit order)
+    mq7 = jnp.minimum(mapq & 0x7F, jnp.full((TB, LD), cap_mapq, I32))
+    rms_lane = jnp.where(occupied, mq7 * mq7, zeros)
+    rms_ref[:] = jnp.stack(
+        [jnp.where(seg == si, rms_lane, zeros).sum(axis=1)
+         for si in range(n_seg)],
+        axis=1,
+    )
 
-    init = (jnp.zeros((TB, LD), I32), ones)
-    if n_seg == 1:
-        rank, _ = jax.lax.fori_loop(
-            jnp.int32(1), jnp.int32(LD), body, init)
-    else:
-        carry = jax.lax.fori_loop(jnp.int32(1), jnp.int32(SD), body, init)
-        rank_mid, tvec_mid = carry
-        carry = (rank_mid, tvec_mid + jnp.full((TB, LD), LD - 2 * SD + 1,
-                                               I32))
-        rank, _ = jax.lax.fori_loop(
-            jnp.int32(LD - SD + 1), jnp.int32(LD), body, carry)
+    # composite ascending sort key: class-major, subkey-descending;
+    # non-participating lanes get a PAST-THE-END class so they sort
+    # last (64: real classes span [0, 8*n_seg) <= 64 exclusive)
+    SUB = (1 << 17) - 1
+    TAILC = 64
+    sub = (eff_raw0 << 9) | (has_base << 8) | q
+    key = jnp.where(
+        upd,
+        (k8 << 17) | (SUB - sub),
+        jnp.full((TB, LD), (TAILC << 17) | SUB, I32),
+    )
+
+    # 128-lane bitonic sort (ascending).  Partner exchange i <-> i^d is
+    # expressed with two rotations; all-lane min/max + role select.
+    def cex(x, d, ksize):
+        fwd = pltpu.roll(x, LD - d, 1)   # [i] = x[i + d]
+        bwd = pltpu.roll(x, d, 1)        # [i] = x[i - d]
+        lower = (j_idx & d) == 0         # lane holds the pair's low index
+        px = jnp.where(lower, fwd, bwd)
+        up = (j_idx & ksize) == 0        # ascending block?
+        keep_min = lower == up
+        return jnp.where(keep_min, jnp.minimum(x, px),
+                         jnp.maximum(x, px))
+
+    ksize = 2
+    while ksize <= LD:
+        d = ksize // 2
+        while d >= 1:
+            key = cex(key, d, ksize)
+            d //= 2
+        ksize *= 2
+
+    cls = key >> 17
+    valid = cls != TAILC
+    sub_s = SUB - (key & SUB)
+    eff_raw = sub_s >> 9
+    q_s = sub_s & 0xFF
+    eff = jnp.where((eff_raw < 4) & ((q_s & 0x3F) != 0),
+                    jnp.full((TB, LD), 4, I32), eff_raw)
+    seg_s = cls >> 3
+    k4_s = cls & 3
+
+    # rank = lane index - class start; class start via 7-step
+    # prefix-max over (boundary ? index : 0)
+    cls_prev = pltpu.roll(cls, 1, 1)
+    boundary = (j_idx == 0) | (cls != cls_prev)
+    start = jnp.where(boundary, j_idx, zeros)
+    d = 1
+    while d < LD:
+        shifted = pltpu.roll(start, d, 1)
+        start = jnp.maximum(
+            start, jnp.where(j_idx >= d, shifted, zeros)
+        )
+        d *= 2
+    rank = j_idx - start
 
     r = jnp.minimum(rank, jnp.full_like(rank, 255)).astype(F32)
     fkw = jnp.where(
-        upd,
+        valid,
         jnp.exp(r * log_theta) * (F32(1.0) - eta32) + eta32,
         fzeros,
     )
     eterm = fkw * eff.astype(F32)
 
     esum_ref[:] = jnp.stack(
-        [jnp.where((seg == si) & (k4 == k), eterm, fzeros).sum(axis=1)
+        [jnp.where((seg_s == si) & (k4_s == k) & valid, eterm,
+                   fzeros).sum(axis=1)
          for si in range(n_seg) for k in range(4)],
         axis=1,
     )
     fsum_ref[:] = jnp.stack(
-        [jnp.where((seg == si) & (k4 == k), fkw, fzeros).sum(axis=1)
+        [jnp.where((seg_s == si) & (k4_s == k) & valid, fkw,
+                   fzeros).sum(axis=1)
          for si in range(n_seg) for k in range(4)],
         axis=1,
     )
     c_ref[:] = jnp.stack(
-        [jnp.where(upd & (seg == si) & (k4 == k), ones, zeros).sum(axis=1)
+        [jnp.where(valid & (seg_s == si) & (k4_s == k), ones,
+                   zeros).sum(axis=1)
          for si in range(n_seg) for k in range(4)],
-        axis=1,
-    )
-    mq7 = jnp.minimum(mapq & 0x7F, jnp.full((TB, LD), cap_mapq, I32))
-    rms_lane = jnp.where(occupied, mq7 * mq7, zeros)
-    rms_ref[:] = jnp.stack(
-        [jnp.where(seg == si, rms_lane, zeros).sum(axis=1)
-         for si in range(n_seg)],
         axis=1,
     )
 

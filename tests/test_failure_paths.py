@@ -72,6 +72,81 @@ def test_cli_jobs_clamp_and_worker_failure(capsys, data_dir, tmp_path):
     assert "worker failed" in err
 
 
+def test_cli_manifest_resume_in_process(data_dir, tmp_path):
+    """A completed run's manifest makes a re-run a no-op resume (all
+    windows skipped, output bytes unchanged) — the crash-recovery path
+    driven in-process."""
+    d = data_dir / "e2e" / "sim1"
+    out = tmp_path / "o.vcf"
+    man = tmp_path / "m.json"
+    args = ["-F", "vcf", "-f", str(d / "ref.fa"), "--window-size",
+            "20000", "--manifest", str(man),
+            str(d / "tumor.bam"), str(d / "normal.bam"), str(out)]
+    assert main(args) == 0
+    first = out.read_bytes()
+    assert main(args) == 0  # resume: skips every done window
+    assert out.read_bytes() == first
+
+
+def test_cli_stdin_tumor_in_process(data_dir, tmp_path, monkeypatch):
+    """'-' tumor reads the BAM from stdin (reference main.c:128), here
+    without a subprocess so the spool path counts toward coverage."""
+    import io as iomod
+    import re
+
+    data = (data_dir / "t-small.bam").read_bytes()
+    fake = types.SimpleNamespace(buffer=iomod.BytesIO(data))
+    monkeypatch.setattr(sys, "stdin", fake)
+    out = tmp_path / "o.vcf"
+    rc = main(["-F", "vcf", "-f", str(data_dir / "small.fa"), "-",
+               str(data_dir / "n-small.bam"), str(out)])
+    assert rc == 0
+    strip = lambda p: [ln for ln in p.read_text().splitlines()
+                       if not re.search(r"##fileDate|##reference=", ln)]
+    assert strip(out) == strip(data_dir / "expected.vcf")
+
+
+def test_partition_intervals_properties():
+    from somatic_sniper_tpu.parallel.sharding import partition_intervals
+
+    lens = [1000, 10, 3000]
+    for n in (1, 2, 5, 7):
+        shards = partition_intervals(lens, n)
+        assert len(shards) == n
+        # exact cover: every base of every contig exactly once, in order
+        seen = {tid: [] for tid in range(len(lens))}
+        for sh in shards:
+            for tid, lo, hi in sh:
+                assert 0 <= lo < hi <= lens[tid]
+                seen[tid].append((lo, hi))
+        for tid, spans in seen.items():
+            spans.sort()
+            assert spans[0][0] == 0 and spans[-1][1] == lens[tid]
+            for (a1, b1), (a2, _b2) in zip(spans, spans[1:]):
+                assert b1 == a2
+    # more shards than bases: empty shards allowed, cover still exact
+    shards = partition_intervals([3], 8)
+    total = sum(hi - lo for sh in shards for _t, lo, hi in sh)
+    assert total == 3
+
+
+def test_bai_python_record_table_fallback(data_dir, monkeypatch):
+    """Without the native library the BAI builder falls back to the
+    pure-Python record table; the resulting index must match the
+    native-built one bin for bin."""
+    bam = data_dir / "e2e" / "sim1" / "tumor.bam"
+    native_idx = bai_mod.build_index(bam)
+    monkeypatch.setattr(bai_mod, "_native_record_table", lambda p: None)
+    py_idx = bai_mod.build_index(bam)
+    assert len(py_idx.refs) == len(native_idx.refs)
+    for rn, rp in zip(native_idx.refs, py_idx.refs):
+        assert set(rn.bins) == set(rp.bins)
+        for b in rn.bins:
+            assert np.array_equal(np.asarray(rn.bins[b]),
+                                  np.asarray(rp.bins[b]))
+        assert np.array_equal(np.asarray(rn.linear), np.asarray(rp.linear))
+
+
 # ---------------------------------------------------------- collective
 
 

@@ -99,6 +99,20 @@ def main() -> int:
     report = "\n".join(lines)
     print(report)
 
+    # SNIPER_COV_MISSING=substr1,substr2: dump the uncovered statement
+    # lines of matching files (diagnostic only, never in the artifact)
+    want_missing = os.environ.get("SNIPER_COV_MISSING")
+    if want_missing:
+        pats = [p for p in want_missing.split(",") if p]
+        for path in sorted(PKG.rglob("*.py")):
+            rel = str(path.relative_to(REPO))
+            if not any(p in rel for p in pats):
+                continue
+            missing = sorted(
+                statement_lines(path) - hits.get(str(path), set())
+            )
+            print(f"MISSING {rel}: {missing}")
+
     # Self-check before writing the artifact.  A failed/aborted pytest
     # run (collection error, usage error) executes only import-time
     # lines and would produce a report that LOOKS like 5% coverage of a
