@@ -411,60 +411,17 @@ def main(argv=None) -> int:
     dist = getattr(args, "_dist", None)
     if dist is not None and args.merge == "collective":
         num, pid = dist
-        real_out = args.output
-        args.output = f"{real_out}.shard{pid}"
-        # Failure paths below use os._exit: after a peer death the
+        # Hard failure paths use os._exit: after a peer death the
         # jax.distributed atexit shutdown can block indefinitely on the
         # coordination service (the coordinator waits for dead/erroring
-        # clients), turning a clean fail-fast into a hang.  Output and
-        # manifest are flushed before every exit.
-        try:
-            rc = _run(args, params, header_fn, record_fn, hdata)
-        except (OSError, ValueError) as e:
-            print(f"bam-somaticsniper-tpu: {e}", file=sys.stderr)
-            sys.stderr.flush()
-            os._exit(1)
-        except Exception as e:
-            # distributed-runtime errors (peer death detected by the
-            # coordination-service heartbeat) surface here
-            print(
-                f"bam-somaticsniper-tpu: distributed run failed "
-                f"({type(e).__name__}: {e}); shard output kept at "
-                f"{args.output} — re-run with the same manifests to "
-                "resume",
-                file=sys.stderr,
-            )
-            sys.stderr.flush()
-            os._exit(3)
-        if rc == 0:
-            from ..parallel.collective import collective_merge, merge_barrier
-
-            try:
-                # rendezvous with a timeout BEFORE the all_gather: a dead
-                # peer must fail the survivors fast, not hang them in the
-                # collective; shard output + manifest stay on disk for a
-                # resumed re-run
-                merge_barrier()
-            except Exception as e:
-                print(
-                    f"bam-somaticsniper-tpu: merge barrier failed "
-                    f"(a worker died or stalled): {e}; shard output "
-                    f"kept at {args.output} — re-run with the same "
-                    "manifests to resume",
-                    file=sys.stderr,
-                )
-                sys.stderr.flush()
-                os._exit(3)
-            try:
-                collective_merge(real_out, args.output, pid, num)
-            except Exception as e:
-                print(
-                    f"bam-somaticsniper-tpu: collective merge failed "
-                    f"({type(e).__name__}: {e}); shard outputs kept",
-                    file=sys.stderr,
-                )
-                sys.stderr.flush()
-                os._exit(3)
+        # clients), turning a clean fail-fast into a hang.  The branch
+        # logic lives in _run_collective (returns the code + hard flag)
+        # so the failure semantics are unit-testable in-process; output
+        # and manifest are flushed before every hard exit.
+        rc, hard = _run_collective(args, params, header_fn, record_fn,
+                                   hdata, num, pid)
+        if hard:
+            os._exit(rc)
         return rc
     try:
         return _run(args, params, header_fn, record_fn, hdata)
@@ -473,6 +430,66 @@ def main(argv=None) -> int:
         # (truncated/corrupt/unsorted inputs, malformed .fai, ...)
         print(f"bam-somaticsniper-tpu: {e}", file=sys.stderr)
         return 1
+
+
+def _run_collective(args, params, header_fn, record_fn, hdata,
+                    num: int, pid: int) -> tuple[int, bool]:
+    """One collective-merge worker's run: score the shard, rendezvous,
+    all-gather the merge.  Returns ``(exit_code, hard)`` — ``hard``
+    means the caller must ``os._exit`` (a peer may be dead and the
+    jax.distributed atexit shutdown would hang; see main).  Every
+    failure leaves the shard output + manifest on disk so a re-run
+    with the same manifests resumes."""
+    real_out = args.output
+    args.output = f"{real_out}.shard{pid}"
+    try:
+        rc = _run(args, params, header_fn, record_fn, hdata)
+    except (OSError, ValueError) as e:
+        print(f"bam-somaticsniper-tpu: {e}", file=sys.stderr)
+        sys.stderr.flush()
+        return 1, True
+    except Exception as e:
+        # distributed-runtime errors (peer death detected by the
+        # coordination-service heartbeat) surface here
+        print(
+            f"bam-somaticsniper-tpu: distributed run failed "
+            f"({type(e).__name__}: {e}); shard output kept at "
+            f"{args.output} — re-run with the same manifests to "
+            "resume",
+            file=sys.stderr,
+        )
+        sys.stderr.flush()
+        return 3, True
+    if rc == 0:
+        from ..parallel.collective import collective_merge, merge_barrier
+
+        try:
+            # rendezvous with a timeout BEFORE the all_gather: a dead
+            # peer must fail the survivors fast, not hang them in the
+            # collective; shard output + manifest stay on disk for a
+            # resumed re-run
+            merge_barrier()
+        except Exception as e:
+            print(
+                f"bam-somaticsniper-tpu: merge barrier failed "
+                f"(a worker died or stalled): {e}; shard output "
+                f"kept at {args.output} — re-run with the same "
+                "manifests to resume",
+                file=sys.stderr,
+            )
+            sys.stderr.flush()
+            return 3, True
+        try:
+            collective_merge(real_out, args.output, pid, num)
+        except Exception as e:
+            print(
+                f"bam-somaticsniper-tpu: collective merge failed "
+                f"({type(e).__name__}: {e}); shard outputs kept",
+                file=sys.stderr,
+            )
+            sys.stderr.flush()
+            return 3, True
+    return rc, False
 
 
 def _run(args, params, header_fn, record_fn, hdata) -> int:

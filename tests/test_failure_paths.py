@@ -147,6 +147,51 @@ def test_bai_python_record_table_fallback(data_dir, monkeypatch):
         assert np.array_equal(np.asarray(rn.linear), np.asarray(rp.linear))
 
 
+def test_run_collective_failure_semantics(monkeypatch, capsys, tmp_path):
+    """Every branch of the collective worker wrapper: input errors hard-
+    exit 1, runtime/barrier/merge failures hard-exit 3 (shard output
+    kept for a manifest resume), the happy path merges and returns
+    soft."""
+    import somatic_sniper_tpu.cli.main as M
+    from somatic_sniper_tpu.parallel import collective
+
+    args = types.SimpleNamespace(output=str(tmp_path / "out.vcf"))
+
+    def run_with(run_exc=None, barrier_exc=None, merge_exc=None):
+        monkeypatch.setattr(
+            M, "_run",
+            lambda *a: (_ for _ in ()).throw(run_exc) if run_exc else 0,
+        )
+        monkeypatch.setattr(
+            collective, "merge_barrier",
+            lambda: (_ for _ in ()).throw(barrier_exc)
+            if barrier_exc else None,
+        )
+        monkeypatch.setattr(
+            collective, "collective_merge",
+            lambda *a, **k: (_ for _ in ()).throw(merge_exc)
+            if merge_exc else None,
+        )
+        args.output = str(tmp_path / "out.vcf")
+        return M._run_collective(args, None, None, None, None, 2, 0)
+
+    assert run_with(run_exc=ValueError("bad input")) == (1, True)
+    assert "bam-somaticsniper-tpu: bad input" in capsys.readouterr().err
+
+    assert run_with(run_exc=RuntimeError("peer died")) == (3, True)
+    assert "distributed run failed" in capsys.readouterr().err
+
+    assert run_with(barrier_exc=RuntimeError("barrier timeout")) \
+        == (3, True)
+    assert "merge barrier failed" in capsys.readouterr().err
+
+    assert run_with(merge_exc=RuntimeError("gather died")) == (3, True)
+    assert "collective merge failed" in capsys.readouterr().err
+
+    assert run_with() == (0, False)
+    assert args.output.endswith(".shard0")
+
+
 # ---------------------------------------------------------- collective
 
 
