@@ -1669,8 +1669,21 @@ void slab_fill_pair(const NativePileup* t, const NativePileup* n,
                                  ((uint32_t)nk_n << 24));
         }
     };
-    int nt = (int)std::thread::hardware_concurrency();
-    if (nt > 2) nt = 2;
+    // Fill threading (SNIPER_FILL_THREADS overrides): since the raw-
+    // lane rewrite the fill is a cheap filtered copy, and on <=2-core
+    // hosts its 2-way burst preempts the BAM loader threads (the
+    // pipeline's critical path) for less than it saves — the calling
+    // (main) thread has idle load-wait time to spend anyway.  Hosts
+    // with spare cores still split.
+    static int nt = [] {
+        const char* e = getenv("SNIPER_FILL_THREADS");
+        if (e) {
+            int v = atoi(e);
+            if (v >= 1) return v > 2 ? 2 : v;
+        }
+        int hw = (int)std::thread::hardware_concurrency();
+        return hw > 2 ? 2 : 1;
+    }();
     if (nt > 1 && B > 2048) {
         int64_t mid = B / 2;
         std::thread th(work, 0, mid);

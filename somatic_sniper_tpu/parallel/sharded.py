@@ -339,6 +339,23 @@ def call_pair_windows(
     for i, (wi, (tid, beg, end)) in enumerate(todo):
         fut = inflight.pop(0)
         with STATS.timer("load_wait"):
+            # While the next window's loads run (native threads, no
+            # GIL), drain any LANDED slabs and emit their completed
+            # windows instead of blocking idle: the fast path's decode
+            # + merged-emit work rides inside the load gaps that used
+            # to be pure waiting (exact mode has no deferred work, so
+            # this is a fast-path-only overlap win).  ready() preserves
+            # window order, and the current window always yields later,
+            # so output bytes cannot change.
+            if slab_disp is not None:
+                import concurrent.futures as _cf
+
+                while not fut.done():
+                    slab_disp.poll()
+                    yield from slab_disp.ready()
+                    # coarse poll: a tighter loop's GIL wakeups delay
+                    # the load threads' completion callbacks
+                    _cf.wait([fut], timeout=0.02)
             pu_t, pu_n, plan = fut.result()
         j = i + LOOKAHEAD
         if j < len(todo):

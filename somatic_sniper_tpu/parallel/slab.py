@@ -540,6 +540,13 @@ class SlabDispatcher:
             pass
         return _device_get_watched((res.count, res.rows), "slab")
 
+    def poll(self) -> None:
+        """Drain landed slabs opportunistically (same hold-one policy
+        as the add_window pump).  The windowed driver calls this while
+        BLOCKED on the next window's loads, so decode + emit work runs
+        inside what used to be idle wait time."""
+        self._pump()
+
     def _pump(self) -> None:
         # Drain landed slabs, but deliberately keep ONE done-but-
         # uncollected slab in the queue; never block mid-run.  Holding
