@@ -172,16 +172,23 @@ def main() -> None:
     man.unlink()
 
     for label, rss in (("jobs2", rss2), ("single", rss1)):
+        # The streaming invariant is "RSS stops growing", measured
+        # post-ramp: startup (BAI load + pipeline fill) takes a roughly
+        # FIXED ~30 s regardless of run length, so anchoring "early" at
+        # a percentage of the run misreads fast runs (an anchor inside
+        # the ramp makes steady state look like growth).  Compare the
+        # middle third against the last third instead — both are past
+        # the ramp on any run long enough to say anything.
         body = rss[max(2, len(rss) // 5):]
-        if len(body) >= 6:
-            early = sorted(body[: len(body) // 3])
+        if len(body) >= 9:
+            mid = sorted(body[len(body) // 3: 2 * len(body) // 3])
             late = sorted(body[-len(body) // 3:])
-            m_early = early[len(early) // 2]
+            m_mid = mid[len(mid) // 2]
             m_late = late[len(late) // 2]
-            assert m_late < 1.5 * m_early + 2e5, (
-                f"{label}: RSS grows {m_early} -> {m_late} kB"
+            assert m_late < 1.3 * m_mid + 2e5, (
+                f"{label}: RSS grows {m_mid} -> {m_late} kB"
             )
-            print(f"{label}: RSS flat ({m_early / 1e6:.2f} -> "
+            print(f"{label}: RSS flat ({m_mid / 1e6:.2f} -> "
                   f"{m_late / 1e6:.2f} GB median)", flush=True)
 
     if "--keep" not in sys.argv:
